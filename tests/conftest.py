@@ -1,0 +1,44 @@
+"""Test config: force an 8-device virtual CPU mesh + float64.
+
+Mirrors the reference's determinism discipline (seeded RNG threaded
+through every test, ref: src/theia/sfm/pose/test_util.h) and adds what
+it lacks: multi-chip tests on a virtual device mesh (SURVEY.md §4).
+
+Note: this environment preloads jax at interpreter startup with the
+axon/TPU platform pinned via JAX_PLATFORMS, so env-var-only overrides
+don't work — we switch the platform through jax.config before any
+backend is initialized.
+"""
+import os
+
+# Must be set before the CPU backend initializes (still true even though
+# jax itself is already imported by the interpreter preload).
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+# Per-op CPU compiles are slow in this environment; cache them across runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+assert len(jax.devices()) == 8, jax.devices()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture
+def key():
+    return jax.random.PRNGKey(42)
