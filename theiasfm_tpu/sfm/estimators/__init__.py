@@ -1,0 +1,8 @@
+from .twoview_estimators import (  # noqa: F401
+    estimate_relative_pose, estimate_fundamental, estimate_homography,
+    relative_pose_spec, fundamental_spec, homography_spec,
+)
+from .absolute_pose import (  # noqa: F401
+    estimate_calibrated_absolute_pose, absolute_pose_spec,
+    refine_absolute_pose_gn,
+)

@@ -1,0 +1,11 @@
+from .twoview_utils import (  # noqa: F401
+    sampson_distance_sq, epipolar_distance_sq, decompose_essential,
+    essential_from_rt, fundamental_from_projections, relative_pose_from_essential,
+)
+from .eight_point import (  # noqa: F401
+    eight_point_fundamental, npoint_fundamental,
+)
+from .seven_point import seven_point_fundamental  # noqa: F401
+from .homography import four_point_homography, npoint_homography  # noqa: F401
+from .p3p import p3p_grunert  # noqa: F401
+from .five_point import five_point_essential  # noqa: F401
