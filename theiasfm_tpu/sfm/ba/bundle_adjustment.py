@@ -1,0 +1,360 @@
+"""From-scratch sparse Levenberg-Marquardt bundle adjustment with
+Schur-complement reduction and matrix-free PCG — the replacement for
+the reference's Ceres SPARSE_SCHUR/SCHUR_JACOBI backend
+(ref: src/theia/sfm/bundle_adjustment/bundle_adjustment.h:66-158,
+bundle_adjuster.cc problem construction, SURVEY.md §3.5, §7).
+
+TPU-native design:
+  * The problem is a fixed-shape struct-of-arrays: observations in COO
+    form (camera idx, intrinsics-group idx, point idx, pixel), padded
+    with a mask. One vmapped autodiff evaluates ALL per-observation
+    residual jacobians at once (2x6 camera, 2xP intrinsics, 2x3 point).
+  * The point block of the Hessian is block-diagonal 3x3 -> inverted in
+    closed form, batched.
+  * The reduced camera system S = Hcc - Hcp Hpp^-1 Hpc is NEVER
+    materialized: S @ v is computed matrix-free with gathers, per-obs
+    small einsums and segment_sums — the exact op mix XLA fuses well on
+    TPU, and the one that shards cleanly over a device mesh (cameras,
+    points, observations are all leading-axis shardable).
+  * Preconditioner: SCHUR_JACOBI — exact 6x6 (and PxP for intrinsics
+    groups) diagonal blocks of S, assembled per-observation (valid
+    because each (camera, point) pair appears in at most one
+    observation) and inverted in batch.
+  * LM trust region: classic lambda adaptation with step
+    accept/reject, fixed-shape lax.while_loop.
+
+Shared intrinsics: cameras reference an intrinsics group (ref
+CameraIntrinsicsGroupId, sfm/reconstruction.h); the group parameters
+enter the camera side of the Schur complement, so "gauge/aliasing under
+sharding" reduces to segment_sums over the group index.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ...camera import models as cm
+from .losses import robust_weight
+
+
+class BAProblem(NamedTuple):
+    """Fixed-shape bundle adjustment problem (device SoA pytree)."""
+    extrinsics: jnp.ndarray    # (Nc, 6) [position, angle-axis]
+    intrinsics: jnp.ndarray    # (Ng, 10) padded per-group params
+    points: jnp.ndarray        # (Np, 3)
+    obs_cam: jnp.ndarray       # (M,) int32 camera index
+    obs_group: jnp.ndarray     # (M,) int32 intrinsics-group index
+    obs_pt: jnp.ndarray        # (M,) int32 point index
+    obs_pix: jnp.ndarray       # (M, 2) observed pixels
+    obs_mask: jnp.ndarray      # (M,) bool (False = padding)
+    cam_mask: Optional[jnp.ndarray] = None   # (Nc,) False = hold constant
+    point_mask: Optional[jnp.ndarray] = None  # (Np,)
+
+
+@dataclasses.dataclass(frozen=True)
+class BAOptions:
+    """Static knobs (ref BundleAdjustmentOptions, bundle_adjustment.h:66-123)."""
+    model_type: int = int(cm.CameraModelType.PINHOLE)
+    loss: str = "trivial"
+    loss_scale: float = 1.0
+    max_iterations: int = 50
+    cg_iterations: int = 50
+    cg_tol: float = 1e-6
+    initial_lambda: float = 1e-4
+    min_lambda: float = 1e-12
+    max_lambda: float = 1e12
+    # which of the 10 intrinsics slots are optimized
+    # (ref OptimizeIntrinsicsType bitmask; default: focal only is
+    #  reference default FOCAL_LENGTH)
+    optimize_intrinsics: tuple = (True,) + (False,) * 9
+    optimize_cameras: bool = True
+    optimize_points: bool = True
+    function_tolerance: float = 1e-9
+
+
+class BASummary(NamedTuple):
+    initial_cost: jnp.ndarray
+    final_cost: jnp.ndarray
+    num_iterations: jnp.ndarray
+    final_lambda: jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+
+
+def _residual_one(model_type, extr, intr, pt, pix):
+    pixel, depth = cm.project(model_type, extr, intr, pt)
+    r = pixel - pix
+    # behind-camera observations get a large fixed residual gradient-free
+    bad = depth <= 1e-8
+    return jnp.where(bad, 0.0, r), bad
+
+
+def _all_jacobians(model_type, prob: BAProblem, weights):
+    """Residuals and weighted per-observation jacobian blocks.
+
+    Returns r (M, 2), Jc (M, 2, 6), Ji (M, 2, 10), Jp (M, 2, 3).
+    """
+    extr = prob.extrinsics[prob.obs_cam]
+    intr = prob.intrinsics[prob.obs_group]
+    pts = prob.points[prob.obs_pt]
+
+    def f(e, i, p, pix):
+        r, bad = _residual_one(model_type, e, i, p, pix)
+        return r
+
+    r = jax.vmap(f)(extr, intr, pts, prob.obs_pix)
+    Jc, Ji, Jp = jax.vmap(jax.jacfwd(f, argnums=(0, 1, 2)))(
+        extr, intr, pts, prob.obs_pix)
+    w = weights[:, None]
+    return r * w, Jc * w[..., None], Ji * w[..., None], Jp * w[..., None]
+
+
+def _apply_masks(prob: BAProblem, opts: BAOptions, Jc, Ji, Jp):
+    if not opts.optimize_cameras:
+        Jc = Jc * 0.0
+    elif prob.cam_mask is not None:
+        Jc = Jc * prob.cam_mask[prob.obs_cam][:, None, None]
+    intr_sel = jnp.asarray(opts.optimize_intrinsics, Jc.dtype)
+    Ji = Ji * intr_sel[None, None, :]
+    if not opts.optimize_points:
+        Jp = Jp * 0.0
+    elif prob.point_mask is not None:
+        Jp = Jp * prob.point_mask[prob.obs_pt][:, None, None]
+    return Jc, Ji, Jp
+
+
+def ba_cost(prob: BAProblem, opts: BAOptions):
+    """Total (robustified) cost. ref: Ceres total cost reporting."""
+    extr = prob.extrinsics[prob.obs_cam]
+    intr = prob.intrinsics[prob.obs_group]
+    pts = prob.points[prob.obs_pt]
+
+    def f(e, i, p, pix):
+        return _residual_one(opts.model_type, e, i, p, pix)
+
+    r, bad = jax.vmap(f)(extr, intr, pts, prob.obs_pix)
+    s = jnp.sum(r * r, axis=-1)
+    w2 = robust_weight(opts.loss, s, opts.loss_scale) ** 2
+    cost_m = w2 * s
+    # cheirality violations: constant penalty so LM rejects steps that
+    # push points behind cameras (their jacobians are zeroed)
+    cost_m = jnp.where(bad, 1e8, cost_m)
+    return 0.5 * jnp.sum(jnp.where(prob.obs_mask, cost_m, 0.0))
+
+
+def _inv3(A):
+    """Batched closed-form 3x3 inverse (adjugate / det)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    adj = jnp.stack([
+        A11, A12, A13, A21, A22, A23, A31, A32, A33,
+    ], axis=-1).reshape(A.shape)
+    return adj / det[..., None, None]
+
+
+def bundle_adjust(prob: BAProblem, opts: BAOptions):
+    """Run LM. Returns (BAProblem with updated params, BASummary).
+
+    Jit-compatible; `opts` must be passed statically (closure/static arg).
+    """
+    Nc = prob.extrinsics.shape[0]
+    Ng = prob.intrinsics.shape[0]
+    Np = prob.points.shape[0]
+    dtype = prob.points.dtype
+    P = prob.intrinsics.shape[1]
+
+    obs_valid = prob.obs_mask
+
+    def seg_cam(x):
+        return jax.ops.segment_sum(x, prob.obs_cam, num_segments=Nc)
+
+    def seg_grp(x):
+        return jax.ops.segment_sum(x, prob.obs_group, num_segments=Ng)
+
+    def seg_pt(x):
+        return jax.ops.segment_sum(x, prob.obs_pt, num_segments=Np)
+
+    def build_system(extr, intr, pts):
+        p = prob._replace(extrinsics=extr, intrinsics=intr, points=pts)
+        # raw residuals for robust weights
+        r0 = jax.vmap(lambda e, i, q, pix: _residual_one(
+            opts.model_type, e, i, q, pix)[0])(
+            extr[prob.obs_cam], intr[prob.obs_group], pts[prob.obs_pt],
+            prob.obs_pix)
+        s = jnp.sum(r0 * r0, axis=-1)
+        w = robust_weight(opts.loss, s, opts.loss_scale)
+        w = jnp.where(obs_valid, w, 0.0)
+        r, Jc, Ji, Jp = _all_jacobians(opts.model_type, p, w)
+        Jc, Ji, Jp = _apply_masks(prob, opts, Jc, Ji, Jp)
+        return r, Jc, Ji, Jp
+
+    def solve_normal_eqs(r, Jc, Ji, Jp, lam):
+        """One damped Schur/PCG solve. Returns (dc, di, dp)."""
+        # --- block-diagonal pieces
+        Hpp = seg_pt(jnp.einsum("mki,mkj->mij", Jp, Jp))  # (Np,3,3)
+        Hpp_d = Hpp + lam * _diagonal_only(Hpp) + \
+            1e-12 * jnp.eye(3, dtype=dtype)
+        Hpp_inv = _inv3(Hpp_d)
+
+        Hcc = seg_cam(jnp.einsum("mki,mkj->mij", Jc, Jc))  # (Nc,6,6)
+        Hgg = seg_grp(jnp.einsum("mki,mkj->mij", Ji, Ji))  # (Ng,P,P)
+
+        # gradient
+        gc = seg_cam(jnp.einsum("mki,mk->mi", Jc, r))      # (Nc,6)
+        gg = seg_grp(jnp.einsum("mki,mk->mi", Ji, r))      # (Ng,P)
+        gp = seg_pt(jnp.einsum("mki,mk->mi", Jp, r))       # (Np,3)
+
+        # reduced RHS: b = -g_c + Hcp Hpp^-1 g_p  (for cam and group)
+        yp = jnp.einsum("nij,nj->ni", Hpp_inv, gp)         # (Np,3)
+        yp_m = yp[prob.obs_pt]
+        t = jnp.einsum("mkj,mj->mk", Jp, yp_m)             # (M,2)
+        bc = -gc + seg_cam(jnp.einsum("mki,mk->mi", Jc, t))
+        bg = -gg + seg_grp(jnp.einsum("mki,mk->mi", Ji, t))
+
+        # --- matrix-free S @ v
+        def S_matvec(vc, vg):
+            u = (jnp.einsum("mki,mi->mk", Jc, vc[prob.obs_cam]) +
+                 jnp.einsum("mki,mi->mk", Ji, vg[prob.obs_group]))  # (M,2)
+            yc = seg_cam(jnp.einsum("mki,mk->mi", Jc, u))
+            yg = seg_grp(jnp.einsum("mki,mk->mi", Ji, u))
+            wp = seg_pt(jnp.einsum("mki,mk->mi", Jp, u))   # (Np,3)
+            zp = jnp.einsum("nij,nj->ni", Hpp_inv, wp)
+            u2 = jnp.einsum("mkj,mj->mk", Jp, zp[prob.obs_pt])
+            yc = yc - seg_cam(jnp.einsum("mki,mk->mi", Jc, u2))
+            yg = yg - seg_grp(jnp.einsum("mki,mk->mi", Ji, u2))
+            # damping on the camera/group diagonal
+            yc = yc + lam * jnp.einsum(
+                "nij,nj->ni", _diagonal_only(Hcc), vc)
+            yg = yg + lam * jnp.einsum(
+                "nij,nj->ni", _diagonal_only(Hgg), vg)
+            return yc, yg
+
+        # --- SCHUR_JACOBI preconditioner (exact 6x6 diag blocks of S for
+        # cameras; group blocks approximate — both only precondition).
+        # W = Hpc contribution of obs m (each (cam, pt) pair has at most
+        # one observation, so the per-obs form is exact for cameras).
+        Hpp_inv_m = Hpp_inv[prob.obs_pt]                       # (M,3,3)
+        W = jnp.einsum("mki,mkj->mij", Jp, Jc)                 # (M,3,6)
+        HW = jnp.einsum("mij,mjk->mik", Hpp_inv_m, W)          # (M,3,6)
+        Scc_corr = seg_cam(jnp.einsum("mji,mjk->mik", W, HW))  # (Nc,6,6)
+        Scc = Hcc + lam * _diagonal_only(Hcc) - Scc_corr + \
+            1e-10 * jnp.eye(6, dtype=dtype)
+        Pc_inv = jnp.linalg.inv(Scc)
+        Wg = jnp.einsum("mki,mkj->mij", Jp, Ji)                # (M,3,P)
+        HWg = jnp.einsum("mij,mjk->mik", Hpp_inv_m, Wg)        # (M,3,P)
+        Sgg_corr = seg_grp(jnp.einsum("mji,mjk->mik", Wg, HWg))
+        Sgg = Hgg + lam * _diagonal_only(Hgg) - Sgg_corr + \
+            1e-10 * jnp.eye(P, dtype=dtype)
+        Pg_inv = jnp.linalg.inv(Sgg)
+
+        def precond(vc, vg):
+            return (jnp.einsum("nij,nj->ni", Pc_inv, vc),
+                    jnp.einsum("nij,nj->ni", Pg_inv, vg))
+
+        # --- PCG on the joint (cam, group) system
+        def dot(ac, ag, bc_, bg_):
+            return jnp.sum(ac * bc_) + jnp.sum(ag * bg_)
+
+        x_c = jnp.zeros((Nc, 6), dtype)
+        x_g = jnp.zeros((Ng, P), dtype)
+        r_c, r_g = bc, bg
+        z_c, z_g = precond(r_c, r_g)
+        p_c, p_g = z_c, z_g
+        rz = dot(r_c, r_g, z_c, z_g)
+        b_norm = jnp.sqrt(dot(bc, bg, bc, bg))
+        tol2 = (opts.cg_tol * b_norm) ** 2
+
+        def cg_cond(st):
+            k, _, _, r_c, r_g, _, _, _ = st
+            rr = dot(r_c, r_g, r_c, r_g)
+            return (k < opts.cg_iterations) & (rr > tol2)
+
+        def cg_body(st):
+            k, x_c, x_g, r_c, r_g, p_c, p_g, rz = st
+            Ap_c, Ap_g = S_matvec(p_c, p_g)
+            pAp = dot(p_c, p_g, Ap_c, Ap_g)
+            alpha = rz / jnp.where(jnp.abs(pAp) < 1e-30, 1e-30, pAp)
+            x_c = x_c + alpha * p_c
+            x_g = x_g + alpha * p_g
+            r_c = r_c - alpha * Ap_c
+            r_g = r_g - alpha * Ap_g
+            z_c, z_g = precond(r_c, r_g)
+            rz_new = dot(r_c, r_g, z_c, z_g)
+            beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
+            p_c = z_c + beta * p_c
+            p_g = z_g + beta * p_g
+            return (k + 1, x_c, x_g, r_c, r_g, p_c, p_g, rz_new)
+
+        st = (jnp.zeros((), jnp.int32), x_c, x_g, r_c, r_g, p_c, p_g, rz)
+        st = jax.lax.while_loop(cg_cond, cg_body, st)
+        dc, dg = st[1], st[2]
+
+        # back-substitute points: dp = Hpp^-1 (-gp - Hpc dc - Hpi dg)
+        u = (jnp.einsum("mki,mi->mk", Jc, dc[prob.obs_cam]) +
+             jnp.einsum("mki,mi->mk", Ji, dg[prob.obs_group]))
+        hp = seg_pt(jnp.einsum("mki,mk->mi", Jp, u))
+        dp = jnp.einsum("nij,nj->ni", Hpp_inv, -gp - hp)
+        return dc, dg, dp
+
+    # ----------------------------------------------------------------- LM
+    def total_cost(extr, intr, pts):
+        p = prob._replace(extrinsics=extr, intrinsics=intr, points=pts)
+        return ba_cost(p, opts)
+
+    cost0 = total_cost(prob.extrinsics, prob.intrinsics, prob.points)
+
+    def lm_cond(st):
+        it, _, _, _, lam, cost, done = st
+        return (it < opts.max_iterations) & ~done
+
+    def lm_body(st):
+        it, extr, intr, pts, lam, cost, done = st
+        r, Jc, Ji, Jp = build_system(extr, intr, pts)
+        dc, dg, dp = solve_normal_eqs(r, Jc, Ji, Jp, lam)
+        extr_new = extr + dc
+        intr_new = intr + dg
+        pts_new = pts + dp
+        new_cost = total_cost(extr_new, intr_new, pts_new)
+        accept = new_cost < cost
+        extr = jnp.where(accept, extr_new, extr)
+        intr = jnp.where(accept, intr_new, intr)
+        pts = jnp.where(accept, pts_new, pts)
+        lam = jnp.where(accept,
+                        jnp.maximum(lam * 0.33, opts.min_lambda),
+                        jnp.minimum(lam * 10.0, opts.max_lambda))
+        rel_decrease = (cost - new_cost) / jnp.maximum(cost, 1e-30)
+        done = accept & (rel_decrease < opts.function_tolerance)
+        cost = jnp.where(accept, new_cost, cost)
+        return (it + 1, extr, intr, pts, lam, cost, done)
+
+    st0 = (jnp.zeros((), jnp.int32), prob.extrinsics, prob.intrinsics,
+           prob.points, jnp.asarray(opts.initial_lambda, dtype), cost0,
+           jnp.zeros((), bool))
+    it, extr, intr, pts, lam, cost, _ = jax.lax.while_loop(
+        lm_cond, lm_body, st0)
+
+    out = prob._replace(extrinsics=extr, intrinsics=intr, points=pts)
+    return out, BASummary(initial_cost=cost0, final_cost=cost,
+                          num_iterations=it, final_lambda=lam)
+
+
+def _diagonal_only(A):
+    """Zero off-diagonals of (..., K, K) blocks."""
+    K = A.shape[-1]
+    return A * jnp.eye(K, dtype=A.dtype)
