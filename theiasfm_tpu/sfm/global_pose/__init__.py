@@ -1,0 +1,12 @@
+from .rotation_averaging import (  # noqa: F401
+    RobustRotationOptions, robust_rotation_averaging,
+    orientations_from_mst,
+)
+from .position_estimation import (  # noqa: F401
+    PositionEstimatorOptions, estimate_positions_nonlinear,
+    estimate_positions_lud,
+)
+from .filters import (  # noqa: F401
+    filter_view_pairs_from_orientation,
+    filter_view_pairs_from_relative_translation,
+)

@@ -1,0 +1,195 @@
+"""Incremental reconstruction pipeline.
+
+ref: src/theia/sfm/incremental_reconstruction_estimator.{h,cc}
+(SURVEY.md §3.3): choose a wide-baseline initial pair, then loop
+  rank unlocalized views by visible estimated tracks ->
+  localize (P3P RANSAC) -> triangulate new tracks -> bundle adjust
+  (partial window for small growth, full otherwise) -> filter outliers
+  and underconstrained views/tracks.
+
+Host orchestrates (graph bookkeeping); every heavy step is one batched
+device call (RANSAC, N-view triangulation, Schur-PCG BA).
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...math import rotation as rot
+from ...solvers import RansacOptions
+from ..ba import BAOptions, bundle_adjust
+from ..estimators import estimate_relative_pose
+from ..reconstruction import Reconstruction
+from ..view_graph import ViewGraph
+from .estimate_tracks import EstimateTracksOptions, estimate_all_tracks
+from .filters import (set_outlier_tracks_to_unestimated,
+                      set_underconstrained_as_unestimated)
+from .localize import LocalizeOptions, localize_view
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class IncrementalOptions:
+    """ref: ReconstructionEstimatorOptions incremental subset
+    (sfm/reconstruction_estimator_options.h)."""
+    max_reprojection_error_pixels: float = 5.0
+    min_triangulation_angle_degrees: float = 3.0
+    # full BA when the model grew by this fraction since the last one
+    full_bundle_adjustment_growth_percent: float = 5.0
+    partial_ba_num_views: int = 20
+    min_num_two_view_inliers: int = 30
+    localize: LocalizeOptions = LocalizeOptions()
+    tracks: EstimateTracksOptions = EstimateTracksOptions()
+    intrinsics_optimized: Tuple[bool, ...] = (False,) * 10
+    ba_loss: str = "softl1"
+    ba_loss_scale_pixels: float = 2.0
+    seed: int = 0
+
+
+def _choose_initial_pair(recon: Reconstruction, graph: ViewGraph,
+                         opts: IncrementalOptions):
+    """Best verified + wide-baseline pair (ref ChooseInitialViewPair,
+    incremental_reconstruction_estimator.cc:323+): rank by number of
+    verified matches, require a non-degenerate baseline (we use the
+    homography-vs-epipolar criterion when available, else matches)."""
+    best, best_score = None, -1.0
+    for (v1, v2), info in graph.edges().items():
+        if info.num_verified_matches < opts.min_num_two_view_inliers:
+            continue
+        if not (recon.views[v1].is_estimated or
+                recon.views[v2].is_estimated):
+            # prefer many matches and small homography fraction
+            h_frac = (info.num_homography_inliers /
+                      max(info.num_verified_matches, 1))
+            score = info.num_verified_matches * (1.0 - 0.5 * h_frac)
+            if score > best_score:
+                best, best_score = (v1, v2), score
+    return best
+
+
+def _initialize_from_pair(recon: Reconstruction, graph: ViewGraph,
+                          pair, opts: IncrementalOptions, key) -> bool:
+    v1, v2 = pair
+    info = graph.edge(v1, v2)
+    cam1 = recon.views[v1].camera
+    cam2 = recon.views[v2].camera
+    cam1.extrinsics = np.zeros(6)
+    R_rel = np.asarray(
+        rot.angle_axis_to_rotation_matrix(jnp.asarray(info.rotation_2)))
+    cam2.extrinsics = np.concatenate([
+        np.asarray(info.position_2, float),
+        np.asarray(info.rotation_2, float)])
+    recon.views[v1].is_estimated = True
+    recon.views[v2].is_estimated = True
+    n = estimate_all_tracks(recon, opts.tracks)
+    logger.info("initial pair (%s, %s): %d tracks", v1, v2, n)
+    return n >= 4
+
+
+def _run_ba(recon: Reconstruction, opts: IncrementalOptions,
+            view_subset=None):
+    prob, maps = recon.to_ba_problem()
+    if prob.obs_pix.shape[0] == 0:
+        return
+    vids = maps[0]
+    # gauge: hold the first camera constant; scale gauge handled by LM
+    # damping (the reference relies on Ceres damping the same way)
+    cam_mask = np.ones(len(vids), bool)
+    if len(vids) > 0:
+        cam_mask[0] = False
+    if view_subset is not None:
+        sub = set(view_subset)
+        for i, v in enumerate(vids):
+            if v not in sub:
+                cam_mask[i] = False
+    prob = prob._replace(cam_mask=jnp.asarray(cam_mask))
+    focal = float(np.asarray(prob.intrinsics)[0, 0]) if \
+        prob.intrinsics.shape[0] else 1.0
+    model_type = recon.views[vids[0]].camera.model_type
+    ba_opts = BAOptions(
+        model_type=int(model_type),
+        loss=opts.ba_loss,
+        loss_scale=opts.ba_loss_scale_pixels,
+        max_iterations=30, cg_iterations=60,
+        optimize_intrinsics=tuple(opts.intrinsics_optimized))
+    out, summary = bundle_adjust(prob, ba_opts)
+    recon.update_from_ba(out, maps)
+
+
+def incremental_reconstruction(recon: Reconstruction, graph: ViewGraph,
+                               opts: IncrementalOptions = IncrementalOptions()
+                               ) -> Dict:
+    """Run the incremental pipeline. Mutates `recon`. Returns summary
+    dict (ref ReconstructionEstimatorSummary)."""
+    key = jax.random.PRNGKey(opts.seed)
+    key, k0 = jax.random.split(key)
+
+    pair = _choose_initial_pair(recon, graph, opts)
+    if pair is None:
+        return {"success": False, "reason": "no initial pair"}
+    if not _initialize_from_pair(recon, graph, pair, opts, k0):
+        return {"success": False, "reason": "initialization failed"}
+    _run_ba(recon, opts)
+    set_outlier_tracks_to_unestimated(
+        recon, opts.max_reprojection_error_pixels,
+        opts.min_triangulation_angle_degrees)
+
+    views_at_last_full_ba = 2
+    while True:
+        # rank unlocalized views by number of visible estimated tracks
+        # (ref FindViewsToLocalize; visibility-pyramid scoring later)
+        candidates = []
+        for v, view in recon.views.items():
+            if view.is_estimated or not graph.has_view(v):
+                continue
+            n_vis = sum(1 for t in view.features
+                        if t in recon.tracks and
+                        recon.tracks[t].is_estimated)
+            if n_vis >= 4:
+                candidates.append((n_vis, v))
+        if not candidates:
+            break
+        candidates.sort(reverse=True)
+
+        localized_any = False
+        for _, v in candidates[:8]:
+            key, k = jax.random.split(key)
+            if localize_view(k, recon, v, opts.localize):
+                localized_any = True
+                estimate_all_tracks(recon, opts.tracks,
+                                    track_ids=[t for t in
+                                               recon.views[v].features])
+                n_est = len(recon.estimated_views())
+                growth = (n_est - views_at_last_full_ba) / max(
+                    views_at_last_full_ba, 1) * 100.0
+                if growth >= opts.full_bundle_adjustment_growth_percent:
+                    estimate_all_tracks(recon, opts.tracks)
+                    _run_ba(recon, opts)
+                    views_at_last_full_ba = n_est
+                else:
+                    recent = recon.estimated_views()[
+                        -opts.partial_ba_num_views:]
+                    _run_ba(recon, opts, view_subset=recent)
+                set_outlier_tracks_to_unestimated(
+                    recon, opts.max_reprojection_error_pixels,
+                    opts.min_triangulation_angle_degrees)
+                set_underconstrained_as_unestimated(recon)
+        if not localized_any:
+            break
+
+    # final pass
+    estimate_all_tracks(recon, opts.tracks)
+    _run_ba(recon, opts)
+    set_outlier_tracks_to_unestimated(
+        recon, opts.max_reprojection_error_pixels,
+        opts.min_triangulation_angle_degrees)
+    set_underconstrained_as_unestimated(recon)
+    return {"success": True,
+            "num_estimated_views": len(recon.estimated_views()),
+            "num_estimated_tracks": len(recon.estimated_tracks())}

@@ -1,0 +1,96 @@
+"""Similarity transforms and reconstruction alignment.
+
+ref: src/theia/sfm/transformation/align_point_clouds.{h,cc} (Umeyama),
+align_reconstructions.{h,cc} (robust similarity alignment of camera
+positions), transform_reconstruction.cc.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..math import rotation as rot
+
+
+def align_point_clouds(src, dst, with_scale: bool = True):
+    """Umeyama least-squares similarity: dst ~ s R src + t.
+
+    Returns (s, R (3,3), t (3,)). ref: AlignPointCloudsUmeyama."""
+    src = jnp.asarray(src)
+    dst = jnp.asarray(dst)
+    mu_s = jnp.mean(src, axis=0)
+    mu_d = jnp.mean(dst, axis=0)
+    sc = src - mu_s
+    dc = dst - mu_d
+    cov = dc.T @ sc / src.shape[0]
+    U, S, Vt = jnp.linalg.svd(cov)
+    d = jnp.sign(jnp.linalg.det(U @ Vt))
+    D = jnp.asarray([1.0, 1.0, 1.0]).at[2].set(d)
+    R = (U * D[None, :]) @ Vt
+    var_s = jnp.mean(jnp.sum(sc * sc, axis=-1))
+    s = (jnp.sum(S * D) / jnp.maximum(var_s, 1e-15)) if with_scale else 1.0
+    t = mu_d - s * (R @ mu_s)
+    return float(s), np.asarray(R), np.asarray(t)
+
+
+def align_reconstructions_robust(src_pos, dst_pos, n_trials: int = 200,
+                                 inlier_thresh_factor: float = 3.0,
+                                 seed: int = 0):
+    """RANSAC-robust similarity alignment of matched camera positions
+    (ref: AlignReconstructions, align_reconstructions.cc — robust to
+    gross outliers in either reconstruction). Returns (s, R, t).
+    """
+    rng = np.random.default_rng(seed)
+    src = np.asarray(src_pos)
+    dst = np.asarray(dst_pos)
+    n = len(src)
+    if n < 3:
+        return align_point_clouds(src, dst)
+    best_inl, best = -1, None
+    scale0 = np.median(np.linalg.norm(dst - np.median(dst, 0), axis=1))
+    thresh = inlier_thresh_factor * max(scale0, 1e-9) * 0.1
+    for _ in range(n_trials):
+        idx = rng.choice(n, 3, replace=False)
+        try:
+            s, R, t = align_point_clouds(src[idx], dst[idx])
+        except Exception:
+            continue
+        pred = s * src @ R.T + t
+        err = np.linalg.norm(pred - dst, axis=1)
+        inl = err < thresh
+        if inl.sum() > best_inl:
+            best_inl, best = inl.sum(), inl
+    if best is None or best_inl < 3:
+        return align_point_clouds(src, dst)
+    s, R, t = align_point_clouds(src[best], dst[best])
+    # final refit on inliers of the refit
+    pred = s * src @ R.T + t
+    err = np.linalg.norm(pred - dst, axis=1)
+    inl = err < thresh
+    if inl.sum() >= 3:
+        s, R, t = align_point_clouds(src[inl], dst[inl])
+    return s, R, t
+
+
+def transform_reconstruction(recon, s: float, R: np.ndarray,
+                             t: np.ndarray):
+    """Apply dst = s R src + t to all cameras and points in place.
+    ref: TransformReconstruction."""
+    R = np.asarray(R)
+    for v in recon.views.values():
+        if not v.is_estimated:
+            continue
+        c = v.camera.extrinsics[:3]
+        aa = v.camera.extrinsics[3:6]
+        v.camera.extrinsics[:3] = s * R @ c + t
+        R_cam = np.asarray(
+            rot.angle_axis_to_rotation_matrix(jnp.asarray(aa)))
+        R_new = R_cam @ R.T
+        v.camera.extrinsics[3:6] = np.asarray(
+            rot.rotation_matrix_to_angle_axis(jnp.asarray(R_new)))
+    for tr in recon.tracks.values():
+        if tr.is_estimated:
+            xyz = tr.xyz()
+            tr.point = np.append(s * R @ xyz + t, 1.0)

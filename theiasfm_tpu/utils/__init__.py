@@ -1,0 +1,2 @@
+from .padding import pad_to, next_bucket  # noqa: F401
+from .timer import Timer  # noqa: F401
