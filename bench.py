@@ -1,0 +1,61 @@
+"""Benchmark: Schur-PCG LM bundle adjustment throughput on TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Problem size mirrors the reference's Notre Dame run (1DSfM, 553
+cameras; BASELINE.md): the reference's Ceres SPARSE_SCHUR spent 196.22s
+on BA; at a typical ~40 LM iterations that is ~0.2 LM iters/s. We
+measure LM iterations/s on a synthetic problem of the same scale
+(550 cams, 140k points, 560k observations, shared intrinsics, Huber
+loss) — same residual structure, same solver role. vs_baseline is the
+ratio of our iters/s to the reference's estimated 0.2.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _make_problem
+    from theiasfm_tpu.sfm.ba import BAOptions, bundle_adjust
+
+    prob = _make_problem(n_cams=550, n_pts=140_000, obs_per_pt=4,
+                         dtype=jnp.float32)
+
+    n_iters = 10
+    opts = BAOptions(max_iterations=n_iters, cg_iterations=25,
+                     loss="huber", loss_scale=2.0,
+                     function_tolerance=0.0)
+
+    run = jax.jit(lambda p: bundle_adjust(p, opts))
+    # warmup/compile
+    out, summary = run(prob)
+    jax.block_until_ready(summary.final_cost)
+
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        out, summary = run(prob)
+        jax.block_until_ready(summary.final_cost)
+    dt = (time.perf_counter() - t0) / reps
+
+    iters = int(summary.num_iterations)
+    iters_per_sec = iters / dt
+    baseline_iters_per_sec = 0.2  # ref Notre Dame: 196.22s / ~40 iters
+    print(json.dumps({
+        "metric": "ba_lm_iters_per_sec_notredame_scale",
+        "value": round(iters_per_sec, 3),
+        "unit": "LM iters/s (550 cams, 560k obs)",
+        "vs_baseline": round(iters_per_sec / baseline_iters_per_sec, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

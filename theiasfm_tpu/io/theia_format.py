@@ -1,0 +1,334 @@
+"""Reader for TheiaSfM's cereal PortableBinary reconstruction files.
+
+ref: src/theia/io/reconstruction_reader.cc:37-71 (the reference
+deserializes with cereal::PortableBinaryInputArchive). This is a
+from-scratch binary parser of that wire format built from the
+serialize() declarations:
+  Reconstruction (reconstruction.h:159-167): next_track_id,
+    next_view_id, view_name_to_id, views, tracks, view->group map,
+    group->views map
+  View (view.h:92-94): name, is_estimated, Camera, prior, features
+  Camera v0 (camera/camera.h:207-245): 13 doubles (6 extrinsics +
+    7 pinhole intrinsics) + int32[2] image size
+  Track (track.h:80-83): is_estimated, view_ids, Vector4d point,
+    Matrix<uint8,3,1> color
+  CameraIntrinsicsPrior v3/v4 (camera_intrinsics_prior.h:102-130)
+  Eigen types (io/eigen_serializable.h:51-57): int32 rows, int32 cols,
+    raw column-major scalar data.
+
+Cereal conventions: leading endianness byte (PortableBinary), class
+versions written as uint32 at the FIRST occurrence of each versioned
+type per archive, strings/containers length-prefixed with uint64.
+"""
+from __future__ import annotations
+
+import struct
+from typing import Dict
+
+import numpy as np
+
+from ..camera.models import MAX_INTRINSICS, CameraModelType
+from ..sfm.reconstruction import (CameraIntrinsicsPrior, Reconstruction)
+
+
+class _Cursor:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.seen_versions: Dict[str, int] = {}
+
+    def raw(self, n: int) -> bytes:
+        b = self.data[self.pos:self.pos + n]
+        if len(b) != n:
+            raise EOFError(f"truncated at {self.pos}")
+        self.pos += n
+        return b
+
+    def u8(self):
+        return self.raw(1)[0]
+
+    def u32(self):
+        return struct.unpack("<I", self.raw(4))[0]
+
+    def i32(self):
+        return struct.unpack("<i", self.raw(4))[0]
+
+    def u64(self):
+        return struct.unpack("<Q", self.raw(8))[0]
+
+    def f64(self, n=1):
+        return np.frombuffer(self.raw(8 * n), dtype="<f8").copy()
+
+    def boolean(self):
+        return self.u8() != 0
+
+    def string(self) -> str:
+        n = self.u64()
+        return self.raw(n).decode("utf-8")
+
+    def version(self, type_key: str) -> int:
+        """Class version: uint32 on first occurrence of the type."""
+        if type_key not in self.seen_versions:
+            self.seen_versions[type_key] = self.u32()
+        return self.seen_versions[type_key]
+
+    def eigen(self, dtype="<f8"):
+        rows = self.i32()
+        cols = self.i32()
+        item = np.dtype(dtype).itemsize
+        m = np.frombuffer(self.raw(rows * cols * item), dtype=dtype)
+        return m.reshape(cols, rows).T.copy()  # column-major on disk
+
+
+def _read_prior(c: _Cursor, n: int):
+    """Prior<N>: versioned type (per N), bool is_set + N doubles."""
+    c.version(f"Prior<{n}>")
+    is_set = c.boolean()
+    value = c.f64(n)
+    return is_set, value
+
+
+def _read_intrinsics_prior(c: _Cursor) -> CameraIntrinsicsPrior:
+    ver = c.version("CameraIntrinsicsPrior")
+    p = CameraIntrinsicsPrior()
+    pp_set, pp = False, np.zeros(2)
+    pos_set = orient_set = False
+    pos = orient = np.zeros(3)
+    td_set, td = False, np.zeros(2)
+    if ver >= 4:
+        p.image_width = c.i32()
+        p.image_height = c.i32()
+        _model_name = c.string()
+        focal_set, focal = _read_prior(c, 1)
+        pp_set, pp = _read_prior(c, 2)
+        ar_set, ar = _read_prior(c, 1)
+        skew_set, skew = _read_prior(c, 1)
+        rd_set, rd = _read_prior(c, 4)
+        td_set, td = _read_prior(c, 2)
+        pos_set, pos = _read_prior(c, 3)
+        orient_set, orient = _read_prior(c, 3)
+        _read_prior(c, 1); _read_prior(c, 1); _read_prior(c, 1)
+    elif ver == 3:
+        p.image_width = c.i32()
+        p.image_height = c.i32()
+        _model_name = c.string()
+        focal_set, focal = _read_prior(c, 1)
+        ar_set, ar = _read_prior(c, 1)
+        skew_set, skew = _read_prior(c, 1)
+        rd_set, rd = _read_prior(c, 4)
+        td_set, td = _read_prior(c, 2)
+        pos_set, pos = _read_prior(c, 3)
+        orient_set, orient = _read_prior(c, 3)
+        _read_prior(c, 1); _read_prior(c, 1); _read_prior(c, 1)
+    elif ver == 2:
+        p.image_width = c.i32()
+        p.image_height = c.i32()
+        _model_name = "PINHOLE"
+        focal_set, focal = _read_prior(c, 1)
+        ar_set, ar = _read_prior(c, 1)
+        skew_set, skew = _read_prior(c, 1)
+        rd_set, rd = _read_prior(c, 2)
+        td_set, td = _read_prior(c, 2)
+        pos_set, pos = _read_prior(c, 3)
+        orient_set, orient = _read_prior(c, 3)
+        _read_prior(c, 1); _read_prior(c, 1); _read_prior(c, 1)
+    else:
+        if ver >= 1:
+            p.image_width = c.i32()
+            p.image_height = c.i32()
+        _model_name = "PINHOLE"
+        focal_set, focal = _read_prior(c, 1)
+        ppx_set, ppx = _read_prior(c, 1)
+        ppy_set, ppy = _read_prior(c, 1)
+        ar_set, ar = _read_prior(c, 1)
+        skew_set, skew = _read_prior(c, 1)
+        rd1_set, rd1 = _read_prior(c, 1)
+        rd2_set, rd2 = _read_prior(c, 1)
+        pp_set = ppx_set and ppy_set
+        pp = np.array([ppx[0], ppy[0]])
+        rd_set = rd1_set and rd2_set
+        rd = np.array([rd1[0], rd2[0]])
+    if ver >= 3:
+        try:
+            p.camera_intrinsics_model_type = CameraModelType[_model_name]
+        except KeyError:
+            p.camera_intrinsics_model_type = CameraModelType.PINHOLE
+    if focal_set:
+        p.focal_length = float(focal[0])
+    if pp_set:
+        p.principal_point = (float(pp[0]), float(pp[1]))
+    if ar_set:
+        p.aspect_ratio = float(ar[0])
+    if skew_set:
+        p.skew = float(skew[0])
+    if rd_set:
+        p.radial_distortion = tuple(float(x) for x in rd)
+    if td_set:
+        p.tangential_distortion = (float(td[0]), float(td[1]))
+    if pos_set:
+        p.position = pos
+    if orient_set:
+        p.orientation = orient
+    return p
+
+
+def _read_camera(c: _Cursor):
+    ver = c.version("Camera")
+    if ver == 0:
+        # pinhole-only path: 6 extrinsics + 7 intrinsics doubles
+        params = c.f64(13)
+        w = c.i32()
+        h = c.i32()
+        extrinsics = params[:6]
+        intr = np.zeros(MAX_INTRINSICS)
+        intr[:7] = params[6:13]
+        return (CameraModelType.PINHOLE, extrinsics, intr, w, h)
+    # version 1: extrinsics + polymorphic intrinsics model
+    extrinsics = c.f64(6)
+    model_type, intr = _read_polymorphic_intrinsics(c)
+    w = c.i32()
+    h = c.i32()
+    return (model_type, extrinsics, intr, w, h)
+
+
+_POLY_NAME_TO_MODEL = {
+    "theia::PinholeCameraModel": (CameraModelType.PINHOLE, 7),
+    "theia::PinholeRadialTangentialCameraModel":
+        (CameraModelType.PINHOLE_RADIAL_TANGENTIAL, 10),
+    "theia::FisheyeCameraModel": (CameraModelType.FISHEYE, 9),
+    "theia::FOVCameraModel": (CameraModelType.FOV, 6),
+    "theia::DivisionUndistortionCameraModel":
+        (CameraModelType.DIVISION_UNDISTORTION, 6),
+}
+
+
+def _read_polymorphic_intrinsics(c: _Cursor):
+    """cereal polymorphic shared_ptr layout (observed + cereal sources):
+      uint32 polymorphic id (0 = nullptr; msb flag = new registration,
+        followed by the type-name string; ids count from 1),
+      uint32 shared_ptr id (msb flag = first occurrence, object
+        payload follows; otherwise a back-reference),
+      payload = derived class version (one-time, PinholeCameraModel v1
+        defers to base, pinhole_camera_model.h:170-178) + base class
+        version (one-time, camera_intrinsics_model.h:216-218) +
+        std::vector<double> parameters (u64 count + doubles)."""
+    if "_poly_names" not in c.__dict__:
+        c._poly_names = {}
+        c._ptr_objects = {}
+    poly_id = c.u32()
+    if poly_id == 0:
+        return CameraModelType.PINHOLE, np.zeros(MAX_INTRINSICS)
+    if poly_id & 0x80000000:
+        name = c.string()
+        c._poly_names[len(c._poly_names) + 1] = name
+    else:
+        name = c._poly_names.get(poly_id, "theia::PinholeCameraModel")
+    model_type, nparams = _POLY_NAME_TO_MODEL.get(
+        name, (CameraModelType.PINHOLE, 7))
+
+    ptr_id = c.u32()
+    key = ptr_id & 0x7FFFFFFF
+    if not (ptr_id & 0x80000000):
+        return c._ptr_objects.get(key,
+                                  (model_type, np.zeros(MAX_INTRINSICS)))
+    c.version(name)                      # derived class version
+    c.version("CameraIntrinsicsModel")   # base class version
+    nvec = c.u64()
+    params = c.f64(nvec)
+    intr = np.zeros(MAX_INTRINSICS)
+    k = min(nvec, MAX_INTRINSICS)
+    intr[:k] = params[:k]
+    c._ptr_objects[key] = (model_type, intr)
+    return model_type, intr
+
+
+def read_theia_reconstruction(path: str) -> Reconstruction:
+    """Parse a Theia .bin reconstruction into our data model."""
+    with open(path, "rb") as f:
+        data = f.read()
+    c = _Cursor(data)
+    endian = c.u8()
+    if endian != 1:
+        raise ValueError("big-endian Theia files not supported")
+    c.version("Reconstruction")
+    next_track_id = c.u32()
+    next_view_id = c.u32()
+
+    n = c.u64()
+    name_to_id = {}
+    for _ in range(n):
+        name = c.string()
+        vid = c.u32()
+        name_to_id[name] = vid
+
+    recon = Reconstruction()
+
+    n_views = c.u64()
+    view_data = {}
+    for _ in range(n_views):
+        vid = c.u32()
+        c.version("View")
+        name = c.string()
+        is_estimated = c.boolean()
+        cam = _read_camera(c)
+        prior = _read_intrinsics_prior(c)
+        n_feat = c.u64()
+        feats = {}
+        for _ in range(n_feat):
+            tid = c.u32()
+            v = c.eigen()
+            feats[tid] = v.reshape(-1)[:2]
+        view_data[vid] = (name, is_estimated, cam, prior, feats)
+
+    n_tracks = c.u64()
+    track_data = {}
+    for _ in range(n_tracks):
+        tid = c.u32()
+        c.version("Track")
+        is_estimated = c.boolean()
+        n_tv = c.u64()
+        tviews = [c.u32() for _ in range(n_tv)]
+        point = c.eigen().reshape(-1)
+        color = c.eigen(dtype="<u1").reshape(-1)
+        track_data[tid] = (is_estimated, tviews, point, color)
+
+    # view -> intrinsics group
+    n_vg = c.u64()
+    view_group = {}
+    for _ in range(n_vg):
+        v = c.u32()
+        g = c.u32()
+        view_group[v] = g
+
+    # rebuild the host model preserving ids via sorted insertion
+    id_remap = {}
+    for vid in sorted(view_data.keys()):
+        name, is_estimated, cam, prior, feats = view_data[vid]
+        new_vid = recon.add_view(name, group=view_group.get(vid))
+        id_remap[vid] = new_vid
+        view = recon.view(new_vid)
+        view.is_estimated = is_estimated
+        model_type, extrinsics, intr, w, h = cam
+        view.camera.model_type = model_type
+        view.camera.extrinsics = np.asarray(extrinsics, float)
+        view.camera.intrinsics = np.asarray(intr, float)
+        view.camera.image_width = w
+        view.camera.image_height = h
+        view.prior = prior
+
+    tid_remap = {}
+    for tid in sorted(track_data.keys()):
+        is_estimated, tviews, point, color = track_data[tid]
+        new_tid = recon.add_track()
+        tid_remap[tid] = new_tid
+        tr = recon.track(new_tid)
+        tr.is_estimated = is_estimated
+        tr.point = np.asarray(point, float)
+        tr.color = np.asarray(color, np.uint8)
+
+    for vid, (name, _, _, _, feats) in view_data.items():
+        for tid, feat in feats.items():
+            if tid in tid_remap:
+                recon.add_observation(id_remap[vid], tid_remap[tid],
+                                     feat)
+    return recon

@@ -7,3 +7,4 @@ from .filters import (  # noqa: F401
 from .incremental import (  # noqa: F401
     IncrementalOptions, incremental_reconstruction,
 )
+from .global_pipeline import GlobalOptions, global_reconstruction  # noqa: F401

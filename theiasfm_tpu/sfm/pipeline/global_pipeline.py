@@ -1,0 +1,178 @@
+"""Global reconstruction pipeline.
+
+ref: src/theia/sfm/global_reconstruction_estimator.cc:121-295 — the
+10-step global SfM pipeline (SURVEY.md §3.2):
+  1. filter initial view graph  2. calibrate from priors
+  3. global rotation averaging (MST init + robust L1-IRLS)
+  4. orientation-based edge filter  5. pairwise translation refinement
+  6. 1DSfM relative-translation filter  7. position estimation
+  8. structure (batched triangulation)  9. Schur-PCG BA
+  10. retriangulation iterations with outlier rejection.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...math import rotation as rot
+from ..ba import BAOptions, bundle_adjust
+from ..global_pose import (PositionEstimatorOptions, RobustRotationOptions,
+                           estimate_positions_lud,
+                           estimate_positions_nonlinear,
+                           filter_view_pairs_from_orientation,
+                           filter_view_pairs_from_relative_translation,
+                           orientations_from_mst,
+                           robust_rotation_averaging)
+from ..reconstruction import Reconstruction
+from ..view_graph import ViewGraph
+from .estimate_tracks import EstimateTracksOptions, estimate_all_tracks
+from .filters import (set_outlier_tracks_to_unestimated,
+                      set_underconstrained_as_unestimated)
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class GlobalOptions:
+    """ref: ReconstructionEstimatorOptions global subset."""
+    min_num_two_view_inliers: int = 30
+    rotation_filtering_max_difference_degrees: float = 5.0
+    position_estimator: str = "nonlinear"  # 'nonlinear' | 'lud'
+    refine_relative_translations: bool = True
+    extract_maximal_rigid_subgraph: bool = False
+    filter_relative_translations: bool = True
+    num_retriangulation_iterations: int = 1
+    max_reprojection_error_pixels: float = 5.0
+    min_triangulation_angle_degrees: float = 3.0
+    rotation: RobustRotationOptions = RobustRotationOptions()
+    position: PositionEstimatorOptions = PositionEstimatorOptions()
+    tracks: EstimateTracksOptions = EstimateTracksOptions()
+    intrinsics_optimized: tuple = (False,) * 10
+    ba_loss: str = "softl1"
+    ba_loss_scale_pixels: float = 2.0
+
+
+def _graph_arrays(graph: ViewGraph):
+    """(edges (E,2) by view id, rel_rot (E,3), rel_pos (E,3), weights)."""
+    edges, rel_rot, rel_pos, w = [], [], [], []
+    for (v1, v2), info in graph.edges().items():
+        edges.append((v1, v2))
+        rel_rot.append(np.asarray(info.rotation_2, float))
+        p = np.asarray(info.position_2, float)
+        n = np.linalg.norm(p)
+        rel_pos.append(p / n if n > 1e-12 else p)
+        w.append(float(info.num_verified_matches))
+    return (np.asarray(edges), np.asarray(rel_rot), np.asarray(rel_pos),
+            np.asarray(w))
+
+
+def _run_ba(recon: Reconstruction, opts: GlobalOptions):
+    prob, maps = recon.to_ba_problem()
+    if prob.obs_pix.shape[0] == 0:
+        return
+    vids = maps[0]
+    model_type = recon.views[vids[0]].camera.model_type
+    ba_opts = BAOptions(
+        model_type=int(model_type), loss=opts.ba_loss,
+        loss_scale=opts.ba_loss_scale_pixels,
+        max_iterations=40, cg_iterations=80,
+        optimize_intrinsics=tuple(opts.intrinsics_optimized))
+    out, summary = bundle_adjust(prob, ba_opts)
+    recon.update_from_ba(out, maps)
+    logger.info("BA: cost %.4g -> %.4g (%d iters)",
+                float(summary.initial_cost), float(summary.final_cost),
+                int(summary.num_iterations))
+
+
+def global_reconstruction(recon: Reconstruction, graph: ViewGraph,
+                          opts: GlobalOptions = GlobalOptions()) -> Dict:
+    """Run the global pipeline. Mutates recon. Returns summary dict."""
+    # 1. initial filter: min inliers + largest CC
+    for (v1, v2), info in list(graph.edges().items()):
+        if info.num_verified_matches < opts.min_num_two_view_inliers:
+            graph.remove_edge(v1, v2)
+    graph.remove_disconnected_views()
+    if graph.num_views() < 3:
+        return {"success": False, "reason": "view graph too small"}
+
+    # 3. rotations
+    vids = graph.view_ids()
+    vid_idx = {v: i for i, v in enumerate(vids)}
+    edges, rel_rot, rel_pos, weights = _graph_arrays(graph)
+    e_idx = np.asarray([[vid_idx[a], vid_idx[b]] for a, b in edges])
+    init = orientations_from_mst(len(vids), e_idx, rel_rot, weights)
+    orientations = robust_rotation_averaging(init, e_idx, rel_rot,
+                                             opts.rotation)
+
+    # 4. rotation filter + re-extract largest CC
+    keep = filter_view_pairs_from_orientation(
+        orientations, e_idx, rel_rot,
+        opts.rotation_filtering_max_difference_degrees)
+    for (v1, v2), k in zip(edges, keep):
+        if not k:
+            graph.remove_edge(int(v1), int(v2))
+    removed = graph.remove_disconnected_views()
+    logger.info("rotation filter: dropped %d edges, %d views",
+                int((~keep).sum()), len(removed))
+
+    vids = graph.view_ids()
+    if len(vids) < 3:
+        return {"success": False, "reason": "rotation filter emptied graph"}
+    orientations = orientations[[vid_idx[v] for v in vids]]
+    vid_idx = {v: i for i, v in enumerate(vids)}
+    edges, rel_rot, rel_pos, weights = _graph_arrays(graph)
+    e_idx = np.asarray([[vid_idx[a], vid_idx[b]] for a, b in edges])
+
+    # 6. 1DSfM translation filter
+    if opts.filter_relative_translations and len(edges) > 3:
+        keep = filter_view_pairs_from_relative_translation(
+            orientations, e_idx, rel_pos)
+        if keep.sum() >= 3:
+            for (v1, v2), k in zip(edges, keep):
+                if not k:
+                    graph.remove_edge(int(v1), int(v2))
+            graph.remove_disconnected_views()
+            vids2 = graph.view_ids()
+            orientations = orientations[[vid_idx[v] for v in vids2]]
+            vids = vids2
+            vid_idx = {v: i for i, v in enumerate(vids)}
+            edges, rel_rot, rel_pos, weights = _graph_arrays(graph)
+            e_idx = np.asarray([[vid_idx[a], vid_idx[b]]
+                                for a, b in edges])
+
+    # 7. positions
+    est = (estimate_positions_lud if opts.position_estimator == "lud"
+           else estimate_positions_nonlinear)
+    positions = est(orientations, e_idx, rel_pos,
+                    edge_weights=weights / weights.max(),
+                    opts=opts.position)
+
+    # write poses into the reconstruction
+    for v in vids:
+        i = vid_idx[v]
+        view = recon.views[v]
+        view.camera.extrinsics = np.concatenate(
+            [positions[i], orientations[i]])
+        view.is_estimated = True
+
+    # 8-10: structure + BA + retriangulation loop
+    estimate_all_tracks(recon, opts.tracks)
+    _run_ba(recon, opts)
+    n_out = set_outlier_tracks_to_unestimated(
+        recon, opts.max_reprojection_error_pixels,
+        opts.min_triangulation_angle_degrees)
+    for _ in range(opts.num_retriangulation_iterations):
+        set_underconstrained_as_unestimated(recon)
+        estimate_all_tracks(recon, opts.tracks)
+        _run_ba(recon, opts)
+        n_out = set_outlier_tracks_to_unestimated(
+            recon, opts.max_reprojection_error_pixels,
+            opts.min_triangulation_angle_degrees)
+    set_underconstrained_as_unestimated(recon)
+    return {"success": True,
+            "num_estimated_views": len(recon.estimated_views()),
+            "num_estimated_tracks": len(recon.estimated_tracks())}
