@@ -1,0 +1,373 @@
+"""SIFT feature detection + description as fixed-shape JAX.
+
+ref: src/theia/image/descriptor/sift_descriptor.cc:39,105-127 — the
+reference wraps vlfeat's C SIFT (vl_sift_*). This is a from-scratch
+TPU formulation of the same algorithm (Lowe 2004):
+
+  * Gaussian scale-space per octave via separable convs (XLA conv ops),
+  * DoG extrema as DENSE stencil ops (3x3x3 neighborhood max/min via
+    reduce_window) — no per-keypoint control flow,
+  * dense single-step quadratic subpixel refinement + edge rejection,
+  * a STATIC keypoint budget per octave selected with top_k (the
+    ragged->fixed-shape discipline; invalid slots masked),
+  * orientation histogram and the 4x4x8 descriptor computed by gathering
+    fixed-size windows per keypoint and binning with one-hot matmuls
+    (vectorized over keypoints — MXU/VPU work, not loops).
+
+Keypoints: (x, y, scale_sigma, orientation) in input-image pixels.
+Descriptors: 128-d L2-normalized, clipped at 0.2, renormalized (Lowe).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class SiftOptions:
+    """Density knobs mirror ref SiftParameters (sift_parameters.h)."""
+    num_octaves: int = 4
+    levels_per_octave: int = 3
+    sigma0: float = 1.6
+    peak_threshold: float = 1.7 / 255.0   # vlfeat-style on DoG values
+    edge_threshold: float = 10.0
+    max_features_per_octave: int = 1024
+    upsample: bool = False  # first_octave = -1 equivalent
+
+
+def _gauss_kernel(sigma: float, dtype=jnp.float32):
+    radius = max(int(np.ceil(3.0 * sigma)), 1)
+    x = np.arange(-radius, radius + 1)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k /= k.sum()
+    return jnp.asarray(k, dtype)
+
+
+def _blur(img, sigma: float):
+    """Separable Gaussian blur with reflect padding. img (H, W)."""
+    k = _gauss_kernel(sigma, img.dtype)
+    r = (k.shape[0] - 1) // 2
+    # horizontal
+    p = jnp.pad(img, ((0, 0), (r, r)), mode="reflect")
+    out = jax.lax.conv_general_dilated(
+        p[None, None, :, :], k[None, None, None, :], (1, 1), "VALID")[0, 0]
+    p = jnp.pad(out, ((r, r), (0, 0)), mode="reflect")
+    out = jax.lax.conv_general_dilated(
+        p[None, None, :, :], k[None, None, :, None], (1, 1), "VALID")[0, 0]
+    return out
+
+
+def _downsample2(img):
+    return img[::2, ::2]
+
+
+def _min_max_pool3(x):
+    """(S, H, W) -> 3x3x3 neighborhood max and min (same shape)."""
+    big = jnp.asarray(jnp.inf, x.dtype)
+    mx = jax.lax.reduce_window(x, -big, jax.lax.max, (3, 3, 3),
+                               (1, 1, 1), "SAME")
+    mn = jax.lax.reduce_window(x, big, jax.lax.min, (3, 3, 3),
+                               (1, 1, 1), "SAME")
+    return mx, mn
+
+
+def _octave_keypoints(gauss, opts: SiftOptions):
+    """Detect keypoints in one octave.
+
+    gauss: (S+3, H, W) Gaussian levels. Returns (score (K,), y, x, s
+    (float refined), valid (K,)) with K = max_features_per_octave.
+    """
+    S = opts.levels_per_octave
+    dog = gauss[1:] - gauss[:-1]              # (S+2, H, W)
+    H, W = dog.shape[1], dog.shape[2]
+
+    mx, mn = _min_max_pool3(dog)
+    is_ext = ((dog >= mx) | (dog <= mn)) & \
+        (jnp.abs(dog) > 0.8 * opts.peak_threshold)
+
+    # derivatives (central differences over the full volume)
+    ds = 0.5 * (jnp.roll(dog, -1, 0) - jnp.roll(dog, 1, 0))
+    dy = 0.5 * (jnp.roll(dog, -1, 1) - jnp.roll(dog, 1, 1))
+    dx = 0.5 * (jnp.roll(dog, -1, 2) - jnp.roll(dog, 1, 2))
+    dss = jnp.roll(dog, -1, 0) + jnp.roll(dog, 1, 0) - 2 * dog
+    dyy = jnp.roll(dog, -1, 1) + jnp.roll(dog, 1, 1) - 2 * dog
+    dxx = jnp.roll(dog, -1, 2) + jnp.roll(dog, 1, 2) - 2 * dog
+    dxy = 0.25 * (jnp.roll(jnp.roll(dog, -1, 1), -1, 2) -
+                  jnp.roll(jnp.roll(dog, -1, 1), 1, 2) -
+                  jnp.roll(jnp.roll(dog, 1, 1), -1, 2) +
+                  jnp.roll(jnp.roll(dog, 1, 1), 1, 2))
+    dxs = 0.25 * (jnp.roll(jnp.roll(dog, -1, 0), -1, 2) -
+                  jnp.roll(jnp.roll(dog, -1, 0), 1, 2) -
+                  jnp.roll(jnp.roll(dog, 1, 0), -1, 2) +
+                  jnp.roll(jnp.roll(dog, 1, 0), 1, 2))
+    dys = 0.25 * (jnp.roll(jnp.roll(dog, -1, 0), -1, 1) -
+                  jnp.roll(jnp.roll(dog, -1, 0), 1, 1) -
+                  jnp.roll(jnp.roll(dog, 1, 0), -1, 1) +
+                  jnp.roll(jnp.roll(dog, 1, 0), 1, 1))
+
+    # solve 3x3 system Hess @ off = -grad at every voxel
+    Hm = jnp.stack([
+        jnp.stack([dxx, dxy, dxs], -1),
+        jnp.stack([dxy, dyy, dys], -1),
+        jnp.stack([dxs, dys, dss], -1)], -2)       # (S+2, H, W, 3, 3)
+    g = jnp.stack([dx, dy, ds], -1)                # (S+2, H, W, 3)
+    Hm = Hm + 1e-8 * jnp.eye(3, dtype=dog.dtype)
+    off = -jnp.linalg.solve(Hm, g[..., None])[..., 0]
+    refined = dog + 0.5 * jnp.sum(g * off, axis=-1)
+
+    # edge rejection on the 2x2 spatial Hessian
+    tr = dxx + dyy
+    det = dxx * dyy - dxy * dxy
+    r = opts.edge_threshold
+    edge_ok = (det > 0) & (tr * tr / jnp.where(det <= 0, 1.0, det) <
+                           (r + 1) ** 2 / r)
+
+    good = (is_ext & edge_ok &
+            (jnp.abs(refined) > opts.peak_threshold) &
+            (jnp.max(jnp.abs(off), axis=-1) < 1.5))
+    # only levels 1..S are valid extrema layers; exclude borders
+    lvl = jnp.arange(dog.shape[0])[:, None, None]
+    yy = jnp.arange(H)[None, :, None]
+    xx = jnp.arange(W)[None, None, :]
+    b = 5
+    good = good & (lvl >= 1) & (lvl <= S) & \
+        (yy >= b) & (yy < H - b) & (xx >= b) & (xx < W - b)
+
+    score = jnp.where(good, jnp.abs(refined), 0.0).reshape(-1)
+    K = opts.max_features_per_octave
+    top_score, flat_idx = jax.lax.top_k(score, K)
+    valid = top_score > 0
+    sl = flat_idx // (H * W)
+    rem = flat_idx % (H * W)
+    iy = rem // W
+    ix = rem % W
+    off_sel = off.reshape(-1, 3)[flat_idx]
+    x_ref = ix + off_sel[:, 0]
+    y_ref = iy + off_sel[:, 1]
+    s_ref = sl + off_sel[:, 2]
+    return top_score, y_ref, x_ref, s_ref, sl, iy, ix, valid
+
+
+def _gradients(img):
+    gy = 0.5 * (jnp.roll(img, -1, 0) - jnp.roll(img, 1, 0))
+    gx = 0.5 * (jnp.roll(img, -1, 1) - jnp.roll(img, 1, 1))
+    mag = jnp.sqrt(gx * gx + gy * gy + 1e-20)
+    ang = jnp.arctan2(gy, gx)
+    return mag, ang
+
+
+_ORI_BINS = 36
+_WIN = 16  # orientation/descriptor sampling window (fixed)
+
+
+def _keypoint_orientation(mag_pyr, ang_pyr, sl, iy, ix, sigma_rel):
+    """Dominant gradient orientation per keypoint.
+
+    mag_pyr/ang_pyr: (S+3, H, W); sl/iy/ix (K,) ints; sigma_rel (K,)
+    is the keypoint's sigma in octave pixels.
+    """
+    K = sl.shape[0]
+    r = _WIN // 2
+    dyx = jnp.stack(jnp.meshgrid(jnp.arange(-r, r + 1),
+                                 jnp.arange(-r, r + 1),
+                                 indexing="ij"), -1).reshape(-1, 2)
+    ys = jnp.clip(iy[:, None] + dyx[None, :, 0], 0,
+                  mag_pyr.shape[1] - 1)
+    xs = jnp.clip(ix[:, None] + dyx[None, :, 1], 0,
+                  mag_pyr.shape[2] - 1)
+    m = mag_pyr[sl[:, None], ys, xs]       # (K, P)
+    a = ang_pyr[sl[:, None], ys, xs]
+    d2 = (dyx[None, :, 0] ** 2 + dyx[None, :, 1] ** 2).astype(m.dtype)
+    w_sigma = 1.5 * sigma_rel
+    w = jnp.exp(-d2 / (2.0 * w_sigma[:, None] ** 2)) * m
+
+    bin_f = (a / (2 * jnp.pi) * _ORI_BINS) % _ORI_BINS
+    b0 = jnp.floor(bin_f).astype(jnp.int32) % _ORI_BINS
+    frac = bin_f - jnp.floor(bin_f)
+    hist = (jnp.zeros((K, _ORI_BINS), m.dtype)
+            .at[jnp.arange(K)[:, None], b0].add(w * (1 - frac))
+            .at[jnp.arange(K)[:, None], (b0 + 1) % _ORI_BINS]
+            .add(w * frac))
+    # smooth circularly (x3)
+    for _ in range(3):
+        hist = (jnp.roll(hist, 1, -1) + hist + jnp.roll(hist, -1, -1)) / 3.0
+    peak = jnp.argmax(hist, axis=-1)
+    hp = hist[jnp.arange(K), peak]
+    hl = hist[jnp.arange(K), (peak - 1) % _ORI_BINS]
+    hr = hist[jnp.arange(K), (peak + 1) % _ORI_BINS]
+    denom = hl - 2 * hp + hr
+    delta = jnp.where(jnp.abs(denom) > 1e-12,
+                      0.5 * (hl - hr) / denom, 0.0)
+    theta = (peak + delta + 0.5) * (2 * jnp.pi / _ORI_BINS)
+    return theta  # [0, 2pi)
+
+
+_NBP = 4   # descriptor spatial bins
+_NBO = 8   # orientation bins
+_DSAMP = 16  # sample grid per side
+
+
+def _descriptors(mag_pyr, ang_pyr, sl, yk, xk, sigma_rel, theta):
+    """4x4x8 SIFT descriptor per keypoint via bilinear sampling of the
+    gradient maps on a rotated grid."""
+    K = sl.shape[0]
+    H, W = mag_pyr.shape[1], mag_pyr.shape[2]
+    # sample grid in descriptor frame: NBP bins, 3*sigma spacing per bin
+    g = (jnp.arange(_DSAMP) + 0.5) / _DSAMP - 0.5    # (-0.5, 0.5)
+    gy, gx = jnp.meshgrid(g, g, indexing="ij")
+    grid = jnp.stack([gx.reshape(-1), gy.reshape(-1)], -1)  # (P, 2)
+    P = grid.shape[0]
+
+    win = 3.0 * sigma_rel * _NBP                     # full window width
+    ct, st = jnp.cos(theta), jnp.sin(theta)
+    # rotated offsets in octave pixels
+    ox = (grid[None, :, 0] * ct[:, None] -
+          grid[None, :, 1] * st[:, None]) * win[:, None]
+    oy = (grid[None, :, 0] * st[:, None] +
+          grid[None, :, 1] * ct[:, None]) * win[:, None]
+    sx = xk[:, None] + ox
+    sy = yk[:, None] + oy
+
+    # bilinear sample mag/ang at (sy, sx) on level sl
+    x0 = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, W - 2)
+    y0 = jnp.clip(jnp.floor(sy).astype(jnp.int32), 0, H - 2)
+    fx = jnp.clip(sx - x0, 0.0, 1.0)
+    fy = jnp.clip(sy - y0, 0.0, 1.0)
+    sli = sl[:, None]
+
+    def samp(pyr, yy, xx):
+        return pyr[sli, yy, xx]
+
+    m00 = samp(mag_pyr, y0, x0)
+    m01 = samp(mag_pyr, y0, x0 + 1)
+    m10 = samp(mag_pyr, y0 + 1, x0)
+    m11 = samp(mag_pyr, y0 + 1, x0 + 1)
+    m = (m00 * (1 - fy) * (1 - fx) + m01 * (1 - fy) * fx +
+         m10 * fy * (1 - fx) + m11 * fy * fx)
+    # angle: nearest sample (interpolating angles is wrap-hazardous)
+    a = samp(ang_pyr, jnp.round(sy).astype(jnp.int32) % H,
+             jnp.round(sx).astype(jnp.int32) % W)
+    a_rel = (a - theta[:, None]) % (2 * jnp.pi)
+
+    # Gaussian weight over the window
+    r2 = grid[None, :, 0] ** 2 + grid[None, :, 1] ** 2
+    wgt = jnp.exp(-r2 / (2 * 0.25))  # sigma = 0.5 window halves
+    contrib = m * wgt                                  # (K, P)
+
+    # trilinear binning into (NBP, NBP, NBO)
+    u = (grid[:, 0] + 0.5) * _NBP - 0.5                # (P,)
+    v = (grid[:, 1] + 0.5) * _NBP - 0.5
+    ob = a_rel / (2 * jnp.pi) * _NBO                   # (K, P)
+
+    def spatial_w(c, centers):
+        return jnp.maximum(0.0, 1.0 - jnp.abs(c[:, None] -
+                                              centers[None, :]))
+
+    centers = jnp.arange(_NBP, dtype=m.dtype)
+    wu = spatial_w(u, centers)                         # (P, NBP)
+    wv = spatial_w(v, centers)                         # (P, NBP)
+    o0 = jnp.floor(ob).astype(jnp.int32) % _NBO
+    of = ob - jnp.floor(ob)
+    onehot0 = jax.nn.one_hot(o0, _NBO, dtype=m.dtype) * (1 - of)[..., None]
+    onehot1 = jax.nn.one_hot((o0 + 1) % _NBO, _NBO,
+                             dtype=m.dtype) * of[..., None]
+    wo = onehot0 + onehot1                             # (K, P, NBO)
+
+    # desc[k, i, j, o] = sum_p contrib[k,p] wu[p,i] wv[p,j] wo[k,p,o]
+    cw = contrib[:, :, None] * wo                      # (K, P, NBO)
+    t1 = jnp.einsum("kpo,pj->kjpo", cw, wv)            # (K, NBP, P, NBO)
+    desc = jnp.einsum("kjpo,pi->kijo", t1, wu)         # (K, NBP, NBP, NBO)
+    desc = desc.reshape(K, _NBP * _NBP * _NBO)
+
+    # Lowe normalization: L2 -> clip 0.2 -> L2
+    desc = desc / jnp.maximum(
+        jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12)
+    desc = jnp.minimum(desc, 0.2)
+    desc = desc / jnp.maximum(
+        jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12)
+    return desc
+
+
+@partial(jax.jit, static_argnames=("opts", "octave_shapes"))
+def _extract_device(image, opts: SiftOptions, octave_shapes):
+    S = opts.levels_per_octave
+    k = 2.0 ** (1.0 / S)
+    base = image
+    # assume input pre-blurred at 0.5; bring to sigma0
+    sig_init = float(np.sqrt(max(opts.sigma0 ** 2 - 0.5 ** 2, 0.01)))
+    base = _blur(base, sig_init)
+
+    all_out = []
+    for o, (Ho, Wo) in enumerate(octave_shapes):
+        gauss = [base]
+        sig_prev = opts.sigma0
+        for s in range(1, S + 3):
+            sig_total = opts.sigma0 * (k ** s)
+            sig_delta = float(np.sqrt(max(sig_total ** 2 -
+                                          sig_prev ** 2, 1e-4)))
+            gauss.append(_blur(gauss[-1], sig_delta))
+            sig_prev = sig_total
+        G = jnp.stack(gauss)                          # (S+3, Ho, Wo)
+
+        score, y_ref, x_ref, s_ref, sl, iy, ix, valid = \
+            _octave_keypoints(G, opts)
+        mag, ang = jax.vmap(_gradients)(G)
+        sigma_rel = opts.sigma0 * (k ** s_ref)        # octave pixels
+        theta = _keypoint_orientation(mag, ang, sl, iy, ix, sigma_rel)
+        desc = _descriptors(mag, ang, sl, y_ref, x_ref, sigma_rel,
+                            theta)
+        scale_mult = 2.0 ** o * (0.5 if opts.upsample else 1.0)
+        kps = jnp.stack([
+            x_ref * scale_mult, y_ref * scale_mult,
+            sigma_rel * scale_mult, theta], -1)       # (K, 4)
+        all_out.append((kps, desc, valid, score))
+        base = _downsample2(G[S])                     # next octave seed
+
+    kps = jnp.concatenate([o[0] for o in all_out])
+    desc = jnp.concatenate([o[1] for o in all_out])
+    valid = jnp.concatenate([o[2] for o in all_out])
+    score = jnp.concatenate([o[3] for o in all_out])
+    return kps, desc, valid, score
+
+
+def extract_sift(image: np.ndarray, opts: SiftOptions = SiftOptions()):
+    """Extract SIFT features from a grayscale image (H, W) in [0, 1].
+
+    Returns (keypoints (K, 4) [x, y, sigma, theta], descriptors
+    (K, 128), valid (K,) bool) with K = num_octaves *
+    max_features_per_octave (fixed shape; filter by `valid`).
+    """
+    img = np.asarray(image, np.float32)
+    if opts.upsample:
+        img = np.kron(img, np.ones((2, 2), np.float32))
+    H, W = img.shape
+    shapes = []
+    h, w = H, W
+    n_oct = opts.num_octaves
+    for o in range(n_oct):
+        if h < 16 or w < 16:
+            break
+        shapes.append((h, w))
+        h, w = (h + 1) // 2, (w + 1) // 2
+    # static downsample halves exactly; pad image to even multiple
+    H_pad = ((H - 1) // (1 << len(shapes)) + 1) * (1 << len(shapes))
+    W_pad = ((W - 1) // (1 << len(shapes)) + 1) * (1 << len(shapes))
+    img = np.pad(img, ((0, H_pad - H), (0, W_pad - W)), mode="edge")
+    shapes = []
+    h, w = H_pad, W_pad
+    for o in range(n_oct):
+        if h < 16 or w < 16:
+            break
+        shapes.append((h, w))
+        h, w = h // 2, w // 2
+
+    kps, desc, valid, score = _extract_device(
+        jnp.asarray(img), opts, tuple(shapes))
+    # drop keypoints that fell into the padded margin
+    in_img = (kps[:, 0] < W) & (kps[:, 1] < H)
+    valid = valid & in_img
+    return np.asarray(kps), np.asarray(desc), np.asarray(valid)
