@@ -3,3 +3,9 @@ from .native_format import (  # noqa: F401
     read_reconstruction, write_reconstruction,
 )
 from .ply import write_ply  # noqa: F401
+from .one_dsfm import read_1dsfm  # noqa: F401
+from .bundler import read_bundler, write_bundler  # noqa: F401
+from .nvm import read_nvm, write_nvm  # noqa: F401
+from .colmap import write_colmap  # noqa: F401
+from .strecha import read_strecha_dataset  # noqa: F401
+from .calibration import read_calibration, write_calibration  # noqa: F401

@@ -31,6 +31,7 @@ sharding" reduces to segment_sums over the group index.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -358,3 +359,64 @@ def _diagonal_only(A):
     """Zero off-diagonals of (..., K, K) blocks."""
     K = A.shape[-1]
     return A * jnp.eye(K, dtype=A.dtype)
+
+
+# --------------------------------------------------------------------------
+# Bucketed execution: pad every axis to power-of-two buckets so repeated
+# solves with ragged sizes (incremental pipeline grows by one camera at a
+# time) reuse the jit cache instead of recompiling (utils/padding
+# discipline).
+
+def pad_ba_problem(prob: BAProblem, minimum: int = 8) -> BAProblem:
+    from ...utils import next_bucket
+
+    Nc, Ng, Np, M = (prob.extrinsics.shape[0], prob.intrinsics.shape[0],
+                     prob.points.shape[0], prob.obs_cam.shape[0])
+    Ncb, Ngb = next_bucket(Nc, minimum), next_bucket(Ng, 1)
+    Npb, Mb = next_bucket(Np, 64), next_bucket(M, 256)
+    dtype = prob.points.dtype
+
+    def padrows(x, n, fill=0.0):
+        if x.shape[0] == n:
+            return x
+        pad = jnp.full((n - x.shape[0],) + x.shape[1:], fill, x.dtype)
+        return jnp.concatenate([x, pad])
+
+    cam_mask = (prob.cam_mask if prob.cam_mask is not None
+                else jnp.ones(Nc, bool))
+    point_mask = (prob.point_mask if prob.point_mask is not None
+                  else jnp.ones(Np, bool))
+    # padded points sit at z=1 to avoid cheirality branches mattering;
+    # they have no observations so they contribute nothing.
+    points = padrows(prob.points, Npb)
+    intr = padrows(prob.intrinsics, Ngb, 1.0)
+    return BAProblem(
+        extrinsics=padrows(prob.extrinsics, Ncb),
+        intrinsics=intr,
+        points=points,
+        obs_cam=padrows(prob.obs_cam, Mb),
+        obs_group=padrows(prob.obs_group, Mb),
+        obs_pt=padrows(prob.obs_pt, Mb),
+        obs_pix=padrows(prob.obs_pix, Mb),
+        obs_mask=padrows(prob.obs_mask, Mb, False),
+        cam_mask=padrows(cam_mask, Ncb, False),
+        point_mask=padrows(point_mask, Npb, False),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def jitted_bundle_adjust(opts: BAOptions):
+    """Cached jit of bundle_adjust for a static options object."""
+    return jax.jit(lambda p: bundle_adjust(p, opts))
+
+
+def bundle_adjust_bucketed(prob: BAProblem, opts: BAOptions):
+    """Pad to buckets, run the cached jitted solver, slice back."""
+    Nc, Np = prob.extrinsics.shape[0], prob.points.shape[0]
+    padded = pad_ba_problem(prob)
+    out, summary = jitted_bundle_adjust(opts)(padded)
+    result = prob._replace(extrinsics=out.extrinsics[:Nc],
+                           intrinsics=out.intrinsics[
+                               :prob.intrinsics.shape[0]],
+                           points=out.points[:Np])
+    return result, summary

@@ -73,13 +73,38 @@ def absolute_pose_spec() -> MinimalSolverSpec:
                              residuals, refine)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_abs_pose(options: RansacOptions):
+    spec = absolute_pose_spec()
+
+    @jax.jit
+    def run(key, data, mask):
+        return ransac(key, spec, data, options, data_mask=mask)
+
+    return run
+
+
 def estimate_calibrated_absolute_pose(key, world, image,
                                       options: RansacOptions, mask=None):
     """ref: estimate_calibrated_absolute_pose.h. Returns
     dict(extrinsics, inliers, num_inliers, confidence)."""
-    data = {"world": world, "image": image}
-    extr, summary = ransac(key, absolute_pose_spec(), data, options,
-                           data_mask=mask)
-    return {"extrinsics": extr, "inliers": summary.inliers,
+    from ...utils import next_bucket
+    n = world.shape[0]
+    b = next_bucket(n, 64)
+    if mask is None:
+        mask = jnp.ones(n, bool)
+    if b != n:
+        pad = b - n
+        world = jnp.concatenate([world,
+                                 jnp.zeros((pad, 3), world.dtype) +
+                                 jnp.asarray([0.0, 0.0, 1.0])])
+        image = jnp.concatenate([image, jnp.zeros((pad, 2), image.dtype)])
+        mask = jnp.concatenate([mask, jnp.zeros(pad, bool)])
+    extr, summary = _jitted_abs_pose(options)(
+        key, {"world": world, "image": image}, mask)
+    return {"extrinsics": extr, "inliers": summary.inliers[:n],
             "num_inliers": summary.num_inliers,
             "confidence": summary.confidence}

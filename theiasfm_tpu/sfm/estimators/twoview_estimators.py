@@ -124,33 +124,77 @@ def homography_spec() -> MinimalSolverSpec:
     return MinimalSolverSpec("homography", 4, 1, solve, residuals, refine)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _singleton_spec(kind: str):
+    return {"relative_pose": relative_pose_spec,
+            "fundamental": fundamental_spec,
+            "homography": homography_spec}[kind]()
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_ransac(kind: str, options: RansacOptions):
+    spec = _singleton_spec(kind)
+
+    @jax.jit
+    def run(key, data, mask):
+        return ransac(key, spec, data, options, data_mask=mask)
+
+    return run
+
+
+def _pad_pair(x1, x2, mask):
+    """Pad correspondences to a power-of-two bucket so repeated calls
+    with ragged N hit the jit cache (padding discipline, utils/padding)."""
+    from ...utils import next_bucket
+    import numpy as np
+    n = x1.shape[0]
+    b = next_bucket(n, 64)
+    if mask is None:
+        mask = jnp.ones(n, bool)
+    if b == n:
+        return x1, x2, mask
+    pad = b - n
+    x1 = jnp.concatenate([x1, jnp.zeros((pad, 2), x1.dtype)])
+    x2 = jnp.concatenate([x2, jnp.zeros((pad, 2), x2.dtype)])
+    mask = jnp.concatenate([mask, jnp.zeros(pad, bool)])
+    return x1, x2, mask
+
+
 def estimate_relative_pose(key, x1, x2, options: RansacOptions, mask=None):
     """Full calibrated relative pose: RANSAC 5-pt -> (R, t) by cheirality.
 
-    Returns dict(E, R, t, inliers, num_inliers, confidence).
+    Returns dict(E, R, t, inliers, num_inliers, confidence). Inlier
+    mask refers to the first N input correspondences.
     """
-    data = {"x1": x1, "x2": x2}
-    E, summary = ransac(key, relative_pose_spec(), data, options,
-                        data_mask=mask)
-    R, t, _ = relative_pose_from_essential(E, x1, x2, mask=summary.inliers)
-    return {"E": E, "R": R, "t": t, "inliers": summary.inliers,
+    n = x1.shape[0]
+    x1p, x2p, maskp = _pad_pair(x1, x2, mask)
+    E, summary = _jitted_ransac("relative_pose", options)(
+        key, {"x1": x1p, "x2": x2p}, maskp)
+    R, t, _ = relative_pose_from_essential(E, x1p, x2p,
+                                           mask=summary.inliers)
+    return {"E": E, "R": R, "t": t, "inliers": summary.inliers[:n],
             "num_inliers": summary.num_inliers,
             "confidence": summary.confidence}
 
 
 def estimate_fundamental(key, x1, x2, options: RansacOptions, mask=None):
-    data = {"x1": x1, "x2": x2}
-    F, summary = ransac(key, fundamental_spec(), data, options,
-                        data_mask=mask)
-    return {"F": F, "inliers": summary.inliers,
+    n = x1.shape[0]
+    x1p, x2p, maskp = _pad_pair(x1, x2, mask)
+    F, summary = _jitted_ransac("fundamental", options)(
+        key, {"x1": x1p, "x2": x2p}, maskp)
+    return {"F": F, "inliers": summary.inliers[:n],
             "num_inliers": summary.num_inliers,
             "confidence": summary.confidence}
 
 
 def estimate_homography(key, x1, x2, options: RansacOptions, mask=None):
-    data = {"x1": x1, "x2": x2}
-    H, summary = ransac(key, homography_spec(), data, options,
-                        data_mask=mask)
-    return {"H": H, "inliers": summary.inliers,
+    n = x1.shape[0]
+    x1p, x2p, maskp = _pad_pair(x1, x2, mask)
+    H, summary = _jitted_ransac("homography", options)(
+        key, {"x1": x1p, "x2": x2p}, maskp)
+    return {"H": H, "inliers": summary.inliers[:n],
             "num_inliers": summary.num_inliers,
             "confidence": summary.confidence}

@@ -8,3 +8,4 @@ from .incremental import (  # noqa: F401
     IncrementalOptions, incremental_reconstruction,
 )
 from .global_pipeline import GlobalOptions, global_reconstruction  # noqa: F401
+from .hybrid import HybridOptions, hybrid_reconstruction  # noqa: F401

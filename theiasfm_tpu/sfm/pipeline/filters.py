@@ -17,6 +17,24 @@ from ...camera import models as cm
 from ..reconstruction import Reconstruction
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_reproj(model: int):
+    @jax.jit
+    def compute(prob):
+        extr = prob.extrinsics[prob.obs_cam]
+        intr = prob.intrinsics[prob.obs_group]
+        pts = prob.points[prob.obs_pt]
+        pix, depth = jax.vmap(
+            lambda e, i, p: cm.project(model, e, i, p))(extr, intr, pts)
+        err = jnp.linalg.norm(pix - prob.obs_pix, axis=-1)
+        return jnp.where(depth > 0, err, jnp.inf)
+
+    return compute
+
+
 def _reprojection_errors(recon: Reconstruction):
     """Per-observation reprojection errors for estimated views+tracks.
     Returns (obs list [(vid, tid)], errors np.ndarray)."""
@@ -25,18 +43,10 @@ def _reprojection_errors(recon: Reconstruction):
         return [], np.zeros(0)
     model = recon.views[vids[0]].camera.model_type if vids else 0
 
-    @jax.jit
-    def compute(prob):
-        extr = prob.extrinsics[prob.obs_cam]
-        intr = prob.intrinsics[prob.obs_group]
-        pts = prob.points[prob.obs_pt]
-        pix, depth = jax.vmap(
-            lambda e, i, p: cm.project(int(model), e, i, p))(extr, intr,
-                                                             pts)
-        err = jnp.linalg.norm(pix - prob.obs_pix, axis=-1)
-        return jnp.where(depth > 0, err, jnp.inf)
-
-    errors = np.asarray(compute(prob))
+    from ..ba.bundle_adjustment import pad_ba_problem
+    M = prob.obs_pix.shape[0]
+    errors = np.asarray(_jitted_reproj(int(model))(
+        pad_ba_problem(prob)))[:M]
     # rebuild the same (vid, tid) order used by to_ba_problem
     obs = []
     tid_set = set(tids)

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...math import rotation as rot
-from ..ba import BAOptions, bundle_adjust
+from ..ba.bundle_adjustment import BAOptions, bundle_adjust_bucketed
 from ..global_pose import (PositionEstimatorOptions, RobustRotationOptions,
                            estimate_positions_lud,
                            estimate_positions_nonlinear,
@@ -81,7 +81,7 @@ def _run_ba(recon: Reconstruction, opts: GlobalOptions):
         loss_scale=opts.ba_loss_scale_pixels,
         max_iterations=40, cg_iterations=80,
         optimize_intrinsics=tuple(opts.intrinsics_optimized))
-    out, summary = bundle_adjust(prob, ba_opts)
+    out, summary = bundle_adjust_bucketed(prob, ba_opts)
     recon.update_from_ba(out, maps)
     logger.info("BA: cost %.4g -> %.4g (%d iters)",
                 float(summary.initial_cost), float(summary.final_cost),

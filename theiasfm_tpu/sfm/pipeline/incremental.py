@@ -22,7 +22,7 @@ import numpy as np
 
 from ...math import rotation as rot
 from ...solvers import RansacOptions
-from ..ba import BAOptions, bundle_adjust
+from ..ba.bundle_adjustment import BAOptions, bundle_adjust_bucketed
 from ..estimators import estimate_relative_pose
 from ..reconstruction import Reconstruction
 from ..view_graph import ViewGraph
@@ -118,7 +118,7 @@ def _run_ba(recon: Reconstruction, opts: IncrementalOptions,
         loss_scale=opts.ba_loss_scale_pixels,
         max_iterations=30, cg_iterations=60,
         optimize_intrinsics=tuple(opts.intrinsics_optimized))
-    out, summary = bundle_adjust(prob, ba_opts)
+    out, summary = bundle_adjust_bucketed(prob, ba_opts)
     recon.update_from_ba(out, maps)
 
 
