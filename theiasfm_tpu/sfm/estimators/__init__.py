@@ -6,3 +6,10 @@ from .absolute_pose import (  # noqa: F401
     estimate_calibrated_absolute_pose, absolute_pose_spec,
     refine_absolute_pose_gn,
 )
+from .uncalibrated import (  # noqa: F401
+    estimate_uncalibrated_absolute_pose,
+    estimate_uncalibrated_relative_pose,
+)
+from .transforms import (  # noqa: F401
+    estimate_rigid_transform, estimate_triangulation,
+)
