@@ -21,6 +21,17 @@ import functools
 
 
 @functools.lru_cache(maxsize=None)
+def _jitted_angles(max_views: int):
+    from .. import triangulation as tri
+
+    @jax.jit
+    def compute(origins, pts, mask):
+        return tri.triangulation_angles(origins, pts, mask)
+
+    return compute
+
+
+@functools.lru_cache(maxsize=None)
 def _jitted_reproj(model: int):
     @jax.jit
     def compute(prob):
@@ -71,7 +82,12 @@ def set_outlier_tracks_to_unestimated(
             bad_tracks.add(t)
 
     if min_triangulation_angle_degrees > 0:
+        # batched: all (track, observing-view-origin) sets in ONE padded
+        # device call (the per-track host loop was the pipeline's
+        # hottest spot on fountain11)
+        from ...utils import next_bucket
         from .. import triangulation as tri
+        cand = []
         for t in recon.estimated_tracks():
             if t in bad_tracks:
                 continue
@@ -80,13 +96,29 @@ def set_outlier_tracks_to_unestimated(
                          if recon.views[v].is_estimated]
             if len(est_views) < 2:
                 bad_tracks.add(t)
-                continue
-            origins = np.stack([recon.views[v].camera.position
-                                for v in est_views])
-            ang = float(tri.triangulation_angles(
-                jnp.asarray(origins)[None], jnp.asarray(tr.point)[None])[0])
-            if ang < min_triangulation_angle_degrees:
-                bad_tracks.add(t)
+            else:
+                cand.append((t, est_views))
+        if cand:
+            V = next_bucket(max(len(v) for _, v in cand), 2)
+            T = next_bucket(len(cand), 8)
+            origins = np.zeros((T, V, 3))
+            vmask = np.zeros((T, V), bool)
+            pts = np.zeros((T, 4))
+            pts[:, 3] = 1.0
+            pos_cache = {}
+            for i, (t, views) in enumerate(cand):
+                pts[i] = recon.tracks[t].point
+                for j, v in enumerate(views[:V]):
+                    if v not in pos_cache:
+                        pos_cache[v] = recon.views[v].camera.position
+                    origins[i, j] = pos_cache[v]
+                    vmask[i, j] = True
+            ang = np.asarray(_jitted_angles(V)(
+                jnp.asarray(origins), jnp.asarray(pts),
+                jnp.asarray(vmask)))
+            for i, (t, _) in enumerate(cand):
+                if ang[i] < min_triangulation_angle_degrees:
+                    bad_tracks.add(t)
 
     for t in bad_tracks:
         recon.tracks[t].is_estimated = False

@@ -52,6 +52,9 @@ class GlobalOptions:
     position: PositionEstimatorOptions = PositionEstimatorOptions()
     tracks: EstimateTracksOptions = EstimateTracksOptions()
     intrinsics_optimized: tuple = (False,) * 10
+    # ref: subsample_tracks_for_bundle_adjustment option
+    subsample_tracks_for_ba: bool = False
+    track_subset_grid_cell_size: int = 100
     ba_loss: str = "softl1"
     ba_loss_scale_pixels: float = 2.0
 
@@ -71,7 +74,14 @@ def _graph_arrays(graph: ViewGraph):
 
 
 def _run_ba(recon: Reconstruction, opts: GlobalOptions):
-    prob, maps = recon.to_ba_problem()
+    track_subset = None
+    if opts.subsample_tracks_for_ba:
+        from .select_good_tracks import \
+            select_good_tracks_for_bundle_adjustment
+        track_subset = select_good_tracks_for_bundle_adjustment(
+            recon, image_grid_cell_size_pixels=opts
+            .track_subset_grid_cell_size)
+    prob, maps = recon.to_ba_problem(track_subset=track_subset)
     if prob.obs_pix.shape[0] == 0:
         return
     vids = maps[0]

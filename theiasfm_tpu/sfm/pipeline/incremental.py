@@ -142,8 +142,10 @@ def incremental_reconstruction(recon: Reconstruction, graph: ViewGraph,
 
     views_at_last_full_ba = 2
     while True:
-        # rank unlocalized views by number of visible estimated tracks
-        # (ref FindViewsToLocalize; visibility-pyramid scoring later)
+        # rank unlocalized views by visibility-pyramid score over their
+        # estimated-track observations (ref FindViewsToLocalize +
+        # VisibilityPyramid, visibility_pyramid.h:44-70)
+        from ..visibility_pyramid import view_visibility_score
         candidates = []
         for v, view in recon.views.items():
             if view.is_estimated or not graph.has_view(v):
@@ -152,7 +154,7 @@ def incremental_reconstruction(recon: Reconstruction, graph: ViewGraph,
                         if t in recon.tracks and
                         recon.tracks[t].is_estimated)
             if n_vis >= 4:
-                candidates.append((n_vis, v))
+                candidates.append((view_visibility_score(recon, v), v))
         if not candidates:
             break
         candidates.sort(reverse=True)

@@ -246,7 +246,7 @@ class Reconstruction:
 
     # -- device snapshot -----------------------------------------------
     def to_ba_problem(self, dtype=np.float64, only_estimated=True,
-                      shared_intrinsics=True):
+                      shared_intrinsics=True, track_subset=None):
         """Snapshot estimated views/tracks into a BAProblem SoA.
 
         Returns (BAProblem, index_maps) where index_maps =
@@ -260,6 +260,8 @@ class Reconstruction:
                 else sorted(self.views.keys()))
         tids = (self.estimated_tracks() if only_estimated
                 else sorted(self.tracks.keys()))
+        if track_subset is not None:
+            tids = [t for t in tids if t in track_subset]
         vid_idx = {v: i for i, v in enumerate(vids)}
         tid_idx = {t: i for i, t in enumerate(tids)}
         if shared_intrinsics:
