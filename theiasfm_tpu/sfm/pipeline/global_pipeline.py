@@ -98,6 +98,59 @@ def _run_ba(recon: Reconstruction, opts: GlobalOptions):
                 int(summary.num_iterations))
 
 
+def _refine_relative_translations(recon, vid_idx, orientations, edges,
+                                  rel_pos, max_corrs: int = 64):
+    """Batched step-5 refinement: common-track correspondences per edge,
+    padded to (E, K), one vmapped GN on the epipolar translation
+    constraint."""
+    import jax
+
+    from ...utils import next_bucket
+    from ..ba.two_view import (
+        optimize_relative_position_with_known_rotation)
+
+    E = len(edges)
+    K = max_corrs
+    x1 = np.zeros((E, K, 2))
+    x2 = np.zeros((E, K, 2))
+    w = np.zeros((E, K))
+    R = np.asarray(rot.angle_axis_to_rotation_matrix(
+        jnp.asarray(orientations)))
+    R1 = np.zeros((E, 3, 3))
+    R2 = np.zeros((E, 3, 3))
+    any_corr = np.zeros(E, bool)
+    for e, (v1, v2) in enumerate(edges):
+        v1, v2 = int(v1), int(v2)
+        view1, view2 = recon.views[v1], recon.views[v2]
+        cam1, cam2 = view1.camera, view2.camera
+        common = [t for t in view1.features if t in view2.features]
+        if len(common) < 8:
+            R1[e] = np.eye(3)
+            R2[e] = np.eye(3)
+            continue
+        if len(common) > K:
+            common = common[:K]
+        f1 = np.stack([view1.features[t] for t in common])
+        f2 = np.stack([view2.features[t] for t in common])
+        x1[e, :len(common)] = (f1 - cam1.intrinsics[3:5]) / \
+            cam1.intrinsics[0]
+        x2[e, :len(common)] = (f2 - cam2.intrinsics[3:5]) / \
+            cam2.intrinsics[0]
+        w[e, :len(common)] = 1.0
+        R1[e] = R[vid_idx[v1]]
+        R2[e] = R[vid_idx[v2]]
+        any_corr[e] = True
+
+    refined = np.asarray(jax.vmap(
+        lambda t0, r1, r2, a, b, ww:
+        optimize_relative_position_with_known_rotation(
+            t0, r1, r2, a, b, ww))(
+        jnp.asarray(rel_pos), jnp.asarray(R1), jnp.asarray(R2),
+        jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(w)))
+    out = np.where(any_corr[:, None], refined, rel_pos)
+    return out
+
+
 def global_reconstruction(recon: Reconstruction, graph: ViewGraph,
                           opts: GlobalOptions = GlobalOptions()) -> Dict:
     """Run the global pipeline. Mutates recon. Returns summary dict."""
@@ -136,6 +189,15 @@ def global_reconstruction(recon: Reconstruction, graph: ViewGraph,
     vid_idx = {v: i for i, v in enumerate(vids)}
     edges, rel_rot, rel_pos, weights = _graph_arrays(graph)
     e_idx = np.asarray([[vid_idx[a], vid_idx[b]] for a, b in edges])
+
+    # 5. pairwise translation refinement with known rotations
+    # (ref OptimizePairwiseTranslations,
+    #  global_reconstruction_estimator.cc:372-379)
+    if opts.refine_relative_translations and len(edges) > 0:
+        rel_pos = _refine_relative_translations(
+            recon, vid_idx, orientations, edges, rel_pos)
+        for (v1, v2), p in zip(edges, rel_pos):
+            graph.edge(int(v1), int(v2)).position_2 = p
 
     # 6. 1DSfM translation filter
     if opts.filter_relative_translations and len(edges) > 3:
