@@ -34,6 +34,9 @@ logger = logging.getLogger(__name__)
 class ReconstructionBuilderOptions:
     """ref: reconstruction_builder.h:59-128."""
     reconstruction_estimator_type: str = "GLOBAL"  # GLOBAL|INCREMENTAL|HYBRID
+    # ref: select_image_pairs_with_global_image_descriptor_matching
+    select_image_pairs_with_global_descriptors: bool = False
+    num_nearest_neighbors_for_global_descriptor_matching: int = 20
     min_track_length: int = 2
     max_track_length: int = 50
     min_num_inlier_matches: int = 30
@@ -90,6 +93,25 @@ class ReconstructionBuilder:
             logger.info("extracted %d features from %s", len(kps), name)
             self.db.put_features(name, KeypointsAndDescriptors(
                 name, kps, desc))
+
+        # optional O(n*k) pair pruning via Fisher-vector kNN
+        # (ref feature_extractor_and_matcher.cc:352-413)
+        if self.options.select_image_pairs_with_global_descriptors:
+            from ..matching.fisher_vector import (
+                FisherVectorExtractor,
+                select_image_pairs_from_global_descriptors)
+            names = self.db.image_names_of_features()
+            fv = FisherVectorExtractor()
+            import numpy as _np
+            all_desc = _np.concatenate(
+                [self.db.get_features(n).descriptors for n in names])
+            fv.train(all_desc)
+            gdesc = {n: fv.extract_global_descriptor(
+                self.db.get_features(n).descriptors) for n in names}
+            pairs = select_image_pairs_from_global_descriptors(
+                gdesc, self.options
+                .num_nearest_neighbors_for_global_descriptor_matching)
+            self._matcher.set_image_pairs_to_match(pairs)
         return self._matcher.match_images()
 
     # -- back end -------------------------------------------------------
