@@ -1,0 +1,25 @@
+"""Full from-pixels end-to-end: images -> SIFT -> matching ->
+geometric verification -> incremental reconstruction, on the
+reference's real test images (ref data/image/img1-6.png)."""
+import pytest
+
+from theiasfm_tpu.image import SiftOptions
+from theiasfm_tpu.sfm.reconstruction_builder import (
+    ReconstructionBuilder, ReconstructionBuilderOptions)
+
+
+@pytest.mark.slow
+def test_images_to_reconstruction():
+    opts = ReconstructionBuilderOptions(
+        reconstruction_estimator_type="INCREMENTAL",
+        sift=SiftOptions(num_octaves=4, max_features_per_octave=512))
+    b = ReconstructionBuilder(opts)
+    for i in range(1, 7):
+        b.add_image(f"/root/reference/data/image/img{i}.png")
+    n = b.extract_and_match_features()
+    assert n >= 5, n
+    models = b.build_reconstruction()
+    assert len(models) >= 1
+    m = models[0]
+    assert len(m.estimated_views()) >= 5
+    assert len(m.estimated_tracks()) > 300

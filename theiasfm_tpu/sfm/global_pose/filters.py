@@ -48,7 +48,12 @@ class RelativeTranslationFilterOptions:
 def _mfas_order(n_nodes: int, arcs_i, arcs_j, arc_w) -> np.ndarray:
     """Greedy minimum-feedback-arc-set ordering (1DSfM's ORDER step):
     repeatedly emit the node maximizing (out - in) weight among
-    remaining. Returns position-in-order per node."""
+    remaining. Returns position-in-order per node. Uses the native C++
+    kernel when available (utils/native.py)."""
+    from ...utils.native import mfas_order_native
+    native = mfas_order_native(n_nodes, arcs_i, arcs_j, arc_w)
+    if native is not None:
+        return native
     import collections
     out_w = collections.defaultdict(float)
     in_w = collections.defaultdict(float)

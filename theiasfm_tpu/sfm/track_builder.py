@@ -44,12 +44,22 @@ class TrackBuilder:
         Returns number of tracks created (consistent, length-filtered).
         ref: TrackBuilder::BuildTracks (track_builder.cc:57+)."""
         n = len(self._features)
-        uf = UnionFind(n)
-        for a, b in self._pairs:
-            uf.union(a, b)
         groups: Dict[int, List[int]] = {}
-        for i in range(n):
-            groups.setdefault(uf.find(i), []).append(i)
+        labels = None
+        if self._pairs:
+            from ..utils.native import connected_components_native
+            pairs = np.asarray(self._pairs, np.int64)
+            labels = connected_components_native(n, pairs[:, 0],
+                                                 pairs[:, 1])
+        if labels is not None:
+            for i in range(n):
+                groups.setdefault(int(labels[i]), []).append(i)
+        else:
+            uf = UnionFind(n)
+            for a, b in self._pairs:
+                uf.union(a, b)
+            for i in range(n):
+                groups.setdefault(uf.find(i), []).append(i)
 
         num_inconsistent = 0
         num_small = 0
