@@ -139,3 +139,21 @@ def test_translation_filter(rng):
     # most outliers dropped, most good edges kept
     assert keep[good].mean() > 0.8, keep[good].mean()
     assert keep[bad].mean() < 0.5, keep[bad].mean()
+
+
+def test_linear_rotation_averaging(rng):
+    aa_gt, pos_gt, edges, rel_rot, rel_pos, _ = make_view_graph(
+        rng, rot_noise_deg=1.0)
+    out = gp.linear_rotation_averaging(len(aa_gt), edges, rel_rot)
+    errs = rotation_errors_deg(out, aa_gt)
+    assert np.mean(errs) < 2.0, np.mean(errs)
+
+
+def test_nonlinear_rotation_averaging(rng):
+    aa_gt, pos_gt, edges, rel_rot, rel_pos, _ = make_view_graph(
+        rng, rot_noise_deg=1.0)
+    init = gp.orientations_from_mst(len(aa_gt), edges, rel_rot,
+                                    np.ones(len(edges)))
+    out = gp.nonlinear_rotation_averaging(init, edges, rel_rot)
+    errs = rotation_errors_deg(out, aa_gt)
+    assert np.mean(errs) < 1.0, np.mean(errs)

@@ -10,3 +10,6 @@ from .filters import (  # noqa: F401
     filter_view_pairs_from_orientation,
     filter_view_pairs_from_relative_translation,
 )
+from .linear_estimators import (  # noqa: F401
+    linear_rotation_averaging, nonlinear_rotation_averaging,
+)
