@@ -32,7 +32,8 @@ def main():
     n_iters = 10
     opts = BAOptions(max_iterations=n_iters, cg_iterations=25,
                      loss="huber", loss_scale=2.0,
-                     function_tolerance=0.0)
+                     function_tolerance=0.0,
+                     point_indices_sorted=True)  # _make_problem sorts
 
     run = jax.jit(lambda p: bundle_adjust(p, opts))
     # warmup/compile

@@ -167,3 +167,15 @@ def test_sampson_distance(rng):
     assert float(jnp.max(d)) < 1e-12
     d2 = pose.sampson_distance_sq(E, x1, x2 + 0.01)
     assert float(jnp.median(d2)) > 1e-8
+
+
+def test_relative_pose_known_rotation(rng):
+    from theiasfm_tpu.sfm.pose.known_rotation import (
+        relative_pose_from_two_points_with_known_rotation)
+    aa = np.array([0.1, -0.2, 0.15])
+    t = np.array([0.5, 0.3, -0.2]); t /= np.linalg.norm(t)
+    x1, x2, R, tu = make_two_view(rng, 2, aa=aa, t=t)
+    t_got, valid = relative_pose_from_two_points_with_known_rotation(
+        x1, x2, jnp.asarray(R))
+    assert bool(valid)
+    np.testing.assert_allclose(np.asarray(t_got), tu, atol=1e-8)
