@@ -31,6 +31,7 @@ logger = logging.getLogger(__name__)
 class FeatureMatcherOptions:
     """ref: matching/feature_matcher_options.h."""
     lowes_ratio: float = 0.8
+    guided_matching: bool = False
     keep_only_symmetric_matches: bool = True
     min_num_feature_matches: int = 30
     perform_geometric_verification: bool = True
@@ -97,6 +98,8 @@ class FeatureMatcher:
         P = len(chunk)
         d1 = np.zeros((P, max_n, D), np.float32)
         d2 = np.zeros((P, max_n, D), np.float32)
+        kp1p = np.zeros((P, max_n, 4))
+        kp2p = np.zeros((P, max_n, 4))
         m1 = np.zeros((P, max_n), bool)
         m2 = np.zeros((P, max_n), bool)
         for i, (a, b) in enumerate(chunk):
@@ -104,6 +107,8 @@ class FeatureMatcher:
             na, nb = fa.descriptors.shape[0], fb.descriptors.shape[0]
             d1[i, :na] = fa.descriptors
             d2[i, :nb] = fb.descriptors
+            kp1p[i, :na] = fa.keypoints[:, :4]
+            kp2p[i, :nb] = fb.keypoints[:, :4]
             m1[i, :na] = True
             m2[i, :nb] = True
 
@@ -136,19 +141,27 @@ class FeatureMatcher:
             kp2 = feats[b].keypoints[idx2[i][sel]]
             corr = np.concatenate([kp1[:, :2], kp2[:, :2]], axis=-1)
             if self.options.perform_geometric_verification:
+                from ..sfm.pipeline.geometric_verification import (
+                    GeometricVerificationOptions, verify_matches)
                 prior1 = self.db.get_intrinsics_prior(a)
                 prior2 = self.db.get_intrinsics_prior(b)
                 f1, pp1 = _focal_pp(prior1)
                 f2, pp2 = _focal_pp(prior2)
                 key, k = jax.random.split(key)
-                info, inliers = estimate_twoview_info(
-                    k, jnp.asarray(corr[:, :2]), jnp.asarray(corr[:, 2:]),
-                    f1, f2, self.options.geometric_verification,
-                    pp1=pp1, pp2=pp2)
-                if info.num_verified_matches < \
-                        self.options.min_num_feature_matches:
+                gv = GeometricVerificationOptions(
+                    estimate_twoview_info=self.options
+                    .geometric_verification,
+                    guided_matching=self.options.guided_matching,
+                    min_num_inlier_matches=self.options
+                    .min_num_feature_matches)
+                info, corr_v = verify_matches(
+                    k, corr[:, :2], corr[:, 2:], f1, f2, pp1, pp2, gv,
+                    kp1_all=kp1p[i], kp2_all=kp2p[i],
+                    desc1=jnp.asarray(d1[i]), desc2=jnp.asarray(d2[i]),
+                    mask1=m1[i], mask2=m2[i])
+                if info is None:
                     continue
-                corr = corr[inliers]
+                corr = corr_v
             else:
                 from ..sfm.view_graph import TwoViewInfo
                 info = TwoViewInfo(num_verified_matches=len(corr))

@@ -1,0 +1,133 @@
+"""Full two-view match geometric verification.
+
+ref: src/theia/sfm/two_view_match_geometric_verification.{h,cc}:53-120:
+  1. EstimateTwoViewInfo (5-pt RANSAC)           [twoview.py]
+  2. optional guided epipolar matching to grow the inlier set
+  3. triangulate inliers, reject points with bad triangulation
+  4. two-view bundle adjustment
+  5. final reprojection-error filter.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...math import rotation as rot
+from ..ba.two_view import bundle_adjust_two_views_angular
+from ..pose.twoview_utils import (fundamental_from_essential,
+                                  essential_from_rt)
+from ..view_graph import TwoViewInfo
+from .twoview import TwoViewInfoOptions, estimate_twoview_info
+
+
+@dataclasses.dataclass(frozen=True)
+class GeometricVerificationOptions:
+    """ref: two_view_match_geometric_verification.h Options."""
+    estimate_twoview_info: TwoViewInfoOptions = TwoViewInfoOptions()
+    guided_matching: bool = False
+    guided_matching_max_distance_pixels: float = 4.0
+    min_num_inlier_matches: int = 30
+    bundle_adjustment: bool = True
+    triangulation_max_reprojection_error_pixels: float = 15.0
+    min_triangulation_angle_degrees: float = 2.0
+    final_max_reprojection_error_pixels: float = 4.0
+
+
+def verify_matches(key, pix1, pix2, focal1, focal2, pp1, pp2,
+                   opts: GeometricVerificationOptions = None,
+                   kp1_all=None, kp2_all=None, desc1=None, desc2=None,
+                   mask1=None, mask2=None):
+    """Verify putative matches between two calibrated views.
+
+    pix1/pix2: (N, 2) putative match pixel coords. Optional kp/desc
+    arrays enable guided matching over ALL features. Returns
+    (TwoViewInfo or None, inlier_correspondences (M, 4)).
+    """
+    opts = opts or GeometricVerificationOptions()
+    # 1. two-view estimation
+    info, inliers = estimate_twoview_info(
+        key, jnp.asarray(pix1), jnp.asarray(pix2), focal1, focal2,
+        opts.estimate_twoview_info, pp1=pp1, pp2=pp2)
+    if info.num_verified_matches < opts.min_num_inlier_matches:
+        return None, np.zeros((0, 4))
+    corr1 = np.asarray(pix1)[inliers]
+    corr2 = np.asarray(pix2)[inliers]
+
+    # 2. guided matching over all features
+    if opts.guided_matching and desc1 is not None:
+        from ...matching.guided_matcher import guided_epipolar_matching
+        R = np.asarray(rot.angle_axis_to_rotation_matrix(
+            jnp.asarray(info.rotation_2)))
+        t = -R @ np.asarray(info.position_2)
+        E = np.asarray(essential_from_rt(jnp.asarray(R), jnp.asarray(t)))
+        F = np.asarray(fundamental_from_essential(
+            jnp.asarray(E), focal1, focal2, jnp.asarray(pp1),
+            jnp.asarray(pp2)))
+        matched1 = np.zeros(len(kp1_all), bool)
+        matched2 = np.zeros(len(kp2_all), bool)
+        idx2, valid = guided_epipolar_matching(
+            jnp.asarray(F), jnp.asarray(kp1_all[:, :2]),
+            jnp.asarray(kp2_all[:, :2]), jnp.asarray(desc1),
+            jnp.asarray(desc2),
+            jnp.ones(len(kp1_all), bool) if mask1 is None
+            else jnp.asarray(mask1),
+            jnp.ones(len(kp2_all), bool) if mask2 is None
+            else jnp.asarray(mask2),
+            jnp.asarray(matched1), jnp.asarray(matched2),
+            band_pixels=opts.guided_matching_max_distance_pixels)
+        sel = np.nonzero(np.asarray(valid))[0]
+        if len(sel):
+            corr1 = np.concatenate([corr1, kp1_all[sel, :2]])
+            corr2 = np.concatenate([corr2,
+                                    kp2_all[np.asarray(idx2)[sel], :2]])
+
+    # normalized coords
+    x1 = (corr1 - np.asarray(pp1)) / focal1
+    x2 = (corr2 - np.asarray(pp2)) / focal2
+
+    # 3-4. triangulate + two-view BA
+    R = np.asarray(rot.angle_axis_to_rotation_matrix(
+        jnp.asarray(info.rotation_2)))
+    t = -R @ np.asarray(info.position_2)
+    t = t / max(np.linalg.norm(t), 1e-12)
+    if opts.bundle_adjustment and len(x1) >= 8:
+        aa_rel = np.asarray(rot.rotation_matrix_to_angle_axis(
+            jnp.asarray(R)))
+        aa_new, t_new = bundle_adjust_two_views_angular(
+            jnp.asarray(aa_rel), jnp.asarray(t), jnp.asarray(x1),
+            jnp.asarray(x2), jnp.ones(len(x1)))
+        R = np.asarray(rot.angle_axis_to_rotation_matrix(aa_new))
+        t = np.asarray(t_new)
+
+    # 5. final filter: triangulate + reprojection gate
+    from .. import triangulation as tri
+    P1 = np.concatenate([np.eye(3), np.zeros((3, 1))], 1)
+    P2 = np.concatenate([R, t[:, None]], 1)
+    X = tri.triangulate_dlt(jnp.asarray(P1), jnp.asarray(P2),
+                            jnp.asarray(x1), jnp.asarray(x2))
+    X = np.asarray(X)
+    w = X[:, 3:]
+    w = np.where(np.abs(w) < 1e-12, 1e-12, w)
+    Xc1 = X[:, :3] / w
+    Xc2 = Xc1 @ R.T + t
+    ok = (Xc1[:, 2] > 1e-6) & (Xc2[:, 2] > 1e-6)
+    r1 = np.linalg.norm(
+        Xc1[:, :2] / np.maximum(Xc1[:, 2:], 1e-9) - x1, axis=1) * focal1
+    r2 = np.linalg.norm(
+        Xc2[:, :2] / np.maximum(Xc2[:, 2:], 1e-9) - x2, axis=1) * focal2
+    thresh = opts.final_max_reprojection_error_pixels
+    keep = ok & (r1 < thresh) & (r2 < thresh)
+    if keep.sum() < opts.min_num_inlier_matches:
+        return None, np.zeros((0, 4))
+
+    out = TwoViewInfo(
+        focal_length_1=float(focal1), focal_length_2=float(focal2),
+        rotation_2=np.asarray(rot.rotation_matrix_to_angle_axis(
+            jnp.asarray(R))),
+        position_2=-R.T @ t,
+        num_verified_matches=int(keep.sum()))
+    return out, np.concatenate([corr1[keep], corr2[keep]], axis=1)
