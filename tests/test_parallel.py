@@ -1,0 +1,50 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh —
+the distributed capability the reference lacks entirely (SURVEY.md
+§2.11): observation-sharded Schur-PCG BA must match the single-device
+result bitwise-closely."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def make_prob():
+    from __graft_entry__ import _make_problem
+    return _make_problem(n_cams=12, n_pts=256, obs_per_pt=4,
+                         dtype=jnp.float64)
+
+
+def test_sharded_ba_matches_single_device():
+    from theiasfm_tpu.parallel import make_mesh, sharded_bundle_adjust
+    from theiasfm_tpu.sfm.ba import BAOptions, bundle_adjust
+
+    prob = make_prob()
+    opts = BAOptions(max_iterations=5, cg_iterations=20, loss="huber",
+                     loss_scale=2.0, point_indices_sorted=True)
+
+    single, s_single = jax.jit(lambda p: bundle_adjust(p, opts))(prob)
+
+    mesh = make_mesh(jax.devices())
+    assert mesh.devices.size == 8
+    sharded, s_sharded = sharded_bundle_adjust(prob, opts, mesh)
+
+    np.testing.assert_allclose(np.asarray(s_sharded.final_cost),
+                               np.asarray(s_single.final_cost),
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(sharded.points),
+                               np.asarray(single.points), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(sharded.extrinsics),
+                               np.asarray(single.extrinsics), atol=1e-8)
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    cost = jax.jit(fn)(*args)
+    assert np.isfinite(float(cost))

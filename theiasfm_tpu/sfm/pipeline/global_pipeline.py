@@ -153,7 +153,13 @@ def _refine_relative_translations(recon, vid_idx, orientations, edges,
 
 def global_reconstruction(recon: Reconstruction, graph: ViewGraph,
                           opts: GlobalOptions = GlobalOptions()) -> Dict:
-    """Run the global pipeline. Mutates recon. Returns summary dict."""
+    """Run the global pipeline. Mutates recon. Returns summary dict with
+    per-stage timings (ref ReconstructionEstimatorSummary,
+    global_reconstruction_estimator.cc:75-83)."""
+    from ...utils import Timer
+    timings: Dict[str, float] = {}
+    total_timer = Timer()
+    stage_timer = Timer()
     # 1. initial filter: min inliers + largest CC
     for (v1, v2), info in list(graph.edges().items()):
         if info.num_verified_matches < opts.min_num_two_view_inliers:
@@ -167,9 +173,11 @@ def global_reconstruction(recon: Reconstruction, graph: ViewGraph,
     vid_idx = {v: i for i, v in enumerate(vids)}
     edges, rel_rot, rel_pos, weights = _graph_arrays(graph)
     e_idx = np.asarray([[vid_idx[a], vid_idx[b]] for a, b in edges])
+    stage_timer.reset()
     init = orientations_from_mst(len(vids), e_idx, rel_rot, weights)
     orientations = robust_rotation_averaging(init, e_idx, rel_rot,
                                              opts.rotation)
+    timings["rotation_estimation_time"] = stage_timer.elapsed_seconds()
 
     # 4. rotation filter + re-extract largest CC
     keep = filter_view_pairs_from_orientation(
@@ -217,11 +225,13 @@ def global_reconstruction(recon: Reconstruction, graph: ViewGraph,
                                 for a, b in edges])
 
     # 7. positions
+    stage_timer.reset()
     est = (estimate_positions_lud if opts.position_estimator == "lud"
            else estimate_positions_nonlinear)
     positions = est(orientations, e_idx, rel_pos,
                     edge_weights=weights / weights.max(),
                     opts=opts.position)
+    timings["position_estimation_time"] = stage_timer.elapsed_seconds()
 
     # write poses into the reconstruction
     for v in vids:
@@ -232,7 +242,10 @@ def global_reconstruction(recon: Reconstruction, graph: ViewGraph,
         view.is_estimated = True
 
     # 8-10: structure + BA + retriangulation loop
+    stage_timer.reset()
     estimate_all_tracks(recon, opts.tracks)
+    timings["triangulation_time"] = stage_timer.elapsed_seconds()
+    stage_timer.reset()
     _run_ba(recon, opts)
     n_out = set_outlier_tracks_to_unestimated(
         recon, opts.max_reprojection_error_pixels,
@@ -245,6 +258,9 @@ def global_reconstruction(recon: Reconstruction, graph: ViewGraph,
             recon, opts.max_reprojection_error_pixels,
             opts.min_triangulation_angle_degrees)
     set_underconstrained_as_unestimated(recon)
+    timings["bundle_adjustment_time"] = stage_timer.elapsed_seconds()
+    timings["total_time"] = total_timer.elapsed_seconds()
     return {"success": True,
             "num_estimated_views": len(recon.estimated_views()),
-            "num_estimated_tracks": len(recon.estimated_tracks())}
+            "num_estimated_tracks": len(recon.estimated_tracks()),
+            "timings": timings}

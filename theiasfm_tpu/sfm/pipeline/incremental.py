@@ -127,6 +127,8 @@ def incremental_reconstruction(recon: Reconstruction, graph: ViewGraph,
                                ) -> Dict:
     """Run the incremental pipeline. Mutates `recon`. Returns summary
     dict (ref ReconstructionEstimatorSummary)."""
+    from ...utils import Timer
+    total_timer = Timer()
     key = jax.random.PRNGKey(opts.seed)
     key, k0 = jax.random.split(key)
 
@@ -194,4 +196,5 @@ def incremental_reconstruction(recon: Reconstruction, graph: ViewGraph,
     set_underconstrained_as_unestimated(recon)
     return {"success": True,
             "num_estimated_views": len(recon.estimated_views()),
-            "num_estimated_tracks": len(recon.estimated_tracks())}
+            "num_estimated_tracks": len(recon.estimated_tracks()),
+            "timings": {"total_time": total_timer.elapsed_seconds()}}
