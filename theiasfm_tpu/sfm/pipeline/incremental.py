@@ -132,17 +132,23 @@ def incremental_reconstruction(recon: Reconstruction, graph: ViewGraph,
     key = jax.random.PRNGKey(opts.seed)
     key, k0 = jax.random.split(key)
 
-    pair = _choose_initial_pair(recon, graph, opts)
-    if pair is None:
-        return {"success": False, "reason": "no initial pair"}
-    if not _initialize_from_pair(recon, graph, pair, opts, k0):
-        return {"success": False, "reason": "initialization failed"}
+    # resume support: if the reconstruction already has estimated views
+    # (e.g. loaded from a snapshot), continue from them instead of
+    # re-initializing (ref incremental_reconstruction_estimator.cc:153-156)
+    if len(recon.estimated_views()) >= 2:
+        estimate_all_tracks(recon, opts.tracks)
+    else:
+        pair = _choose_initial_pair(recon, graph, opts)
+        if pair is None:
+            return {"success": False, "reason": "no initial pair"}
+        if not _initialize_from_pair(recon, graph, pair, opts, k0):
+            return {"success": False, "reason": "initialization failed"}
     _run_ba(recon, opts)
     set_outlier_tracks_to_unestimated(
         recon, opts.max_reprojection_error_pixels,
         opts.min_triangulation_angle_degrees)
 
-    views_at_last_full_ba = 2
+    views_at_last_full_ba = max(len(recon.estimated_views()), 2)
     while True:
         # rank unlocalized views by visibility-pyramid score over their
         # estimated-track observations (ref FindViewsToLocalize +
