@@ -1,0 +1,130 @@
+"""Large-scale synthetic global reconstruction (1DSfM-class shape:
+hundreds of cameras, noisy + outlier-contaminated view graph) — the
+scale regime where the reference's published timings are dominated by
+BA and position estimation (BASELINE.md)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from theiasfm_tpu.math import rotation as rot
+from theiasfm_tpu.camera import models as cm
+from theiasfm_tpu.sfm.pipeline import GlobalOptions, global_reconstruction
+from theiasfm_tpu.sfm.reconstruction import Reconstruction
+from theiasfm_tpu.sfm.transformation import align_point_clouds
+from theiasfm_tpu.sfm.view_graph import TwoViewInfo, ViewGraph
+
+
+def build_city_scene(rng, n_views=200, n_pts=4000, noise_px=0.5,
+                     outlier_edge_frac=0.05):
+    """Cameras along a street loop looking at building facades."""
+    focal = 800.0
+    intr = np.zeros(10)
+    intr[0] = focal; intr[1] = 1.0; intr[3] = 640.0; intr[4] = 480.0
+
+    extrs = np.zeros((n_views, 6))
+    for v in range(n_views):
+        s = v / n_views * 2 * np.pi
+        c = np.array([30 * np.cos(s), 0.5 * np.sin(3 * s),
+                      30 * np.sin(s)])
+        # look outward from the loop centre with some pitch jitter
+        z = np.array([np.cos(s), 0.0, np.sin(s)])
+        x = np.cross([0, 1, 0], z); x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R = np.stack([x, y, z])
+        extrs[v, :3] = c
+        extrs[v, 3:] = np.asarray(rot.rotation_matrix_to_angle_axis(
+            jnp.asarray(R)))
+
+    # points on a ring of facades outside the camera loop
+    ang = rng.uniform(0, 2 * np.pi, n_pts)
+    rad = rng.uniform(38, 48, n_pts)
+    pts = np.stack([rad * np.cos(ang), rng.uniform(-5, 8, n_pts),
+                    rad * np.sin(ang)], -1)
+
+    recon = Reconstruction()
+    vids = [recon.add_view(f"v{v:04d}.jpg", group=0)
+            for v in range(n_views)]
+    for v in range(n_views):
+        view = recon.views[vids[v]]
+        view.camera.intrinsics = intr.copy()
+        view.camera.image_width, view.camera.image_height = 1280, 960
+
+    # observations: project; keep in-frustum
+    obs = {}
+    for v in range(n_views):
+        pix, depth = cm.project(cm.CameraModelType.PINHOLE,
+                                jnp.asarray(extrs[v]), jnp.asarray(intr),
+                                jnp.asarray(pts))
+        pix = np.asarray(pix) + rng.normal(scale=noise_px,
+                                           size=(n_pts, 2))
+        d = np.asarray(depth)
+        sel = (d > 3) & (d < 25) & (pix[:, 0] >= 0) & \
+            (pix[:, 0] < 1280) & (pix[:, 1] >= 0) & (pix[:, 1] < 960)
+        obs[v] = (np.nonzero(sel)[0], pix[sel])
+
+    # tracks
+    track_ids = {}
+    for v in range(n_views):
+        idxs, pix = obs[v]
+        for k, p in zip(idxs, pix):
+            track_ids.setdefault(k, []).append((v, p))
+    for k, lst in track_ids.items():
+        if len(lst) < 3:
+            continue
+        t = recon.add_track()
+        for v, p in lst:
+            recon.add_observation(vids[v], t, p)
+
+    # view graph from ground truth + noise + outliers
+    graph = ViewGraph()
+    R_all = np.asarray(rot.angle_axis_to_rotation_matrix(
+        jnp.asarray(extrs[:, 3:])))
+    n_out = 0
+    for v1 in range(n_views):
+        for dv in range(1, 11):
+            v2 = (v1 + dv) % n_views
+            common = len(set(obs[v1][0]) & set(obs[v2][0]))
+            if common < 40:
+                continue
+            R_rel = R_all[v2] @ R_all[v1].T
+            aa_rel = np.asarray(rot.rotation_matrix_to_angle_axis(
+                jnp.asarray(R_rel)))
+            d = R_all[v1] @ (extrs[v2, :3] - extrs[v1, :3])
+            d /= np.linalg.norm(d)
+            if rng.uniform() < outlier_edge_frac:
+                aa_rel = rng.normal(size=3)
+                d = rng.normal(size=3); d /= np.linalg.norm(d)
+                n_out += 1
+            else:
+                naa = rng.normal(size=3)
+                naa *= np.radians(0.3) / np.linalg.norm(naa)
+                aa_rel = np.asarray(rot.multiply_rotations(
+                    jnp.asarray(naa), jnp.asarray(aa_rel)))
+            info = TwoViewInfo(rotation_2=aa_rel, position_2=d,
+                               num_verified_matches=common,
+                               focal_length_1=focal,
+                               focal_length_2=focal)
+            graph.add_edge(vids[v1], vids[v2], info)
+    return recon, graph, extrs
+
+
+@pytest.mark.slow
+def test_global_200_cameras(rng):
+    recon, graph, gt = build_city_scene(rng)
+    opts = GlobalOptions(position_estimator="nonlinear",
+                         num_retriangulation_iterations=1,
+                         subsample_tracks_for_ba=False)
+    summary = global_reconstruction(recon, graph, opts)
+    assert summary["success"], summary
+    n_est = summary["num_estimated_views"]
+    assert n_est >= 190, summary
+    est_ids = sorted(recon.estimated_views())
+    est_pos = np.stack([recon.views[v].camera.position
+                        for v in est_ids])
+    gt_pos = gt[:, :3][np.asarray(est_ids)]
+    s, R, t = align_point_clouds(est_pos, gt_pos)
+    err = np.linalg.norm(s * est_pos @ R.T + t - gt_pos, axis=1)
+    # loop diameter 60 units; gate at 0.5% of that
+    assert np.median(err) < 0.3, np.median(err)
+    print("large-scale timings:", summary.get("timings"))

@@ -85,3 +85,25 @@ def test_histogram_and_reservoir(rng):
     for i in range(1000):
         rs.add(i)
     assert len(rs.samples) == 10 and rs.n_seen == 1000
+
+
+def test_normalized_cut(rng):
+    """Two dense clusters with a weak bridge must split at the bridge
+    (ref normalized_graph_cut_test.cc pattern)."""
+    from theiasfm_tpu.math.normalized_cut import normalized_cut
+    edges, weights = [], []
+    for c in range(2):
+        base = c * 10
+        for i in range(10):
+            for j in range(i + 1, 10):
+                if rng.uniform() < 0.7:
+                    edges.append((base + i, base + j))
+                    weights.append(1.0)
+    edges.append((0, 10))
+    weights.append(0.1)
+    labels, ncut = normalized_cut(20, np.asarray(edges),
+                                  np.asarray(weights))
+    assert len(set(labels[:10])) == 1
+    assert len(set(labels[10:])) == 1
+    assert labels[0] != labels[10]
+    assert ncut < 0.1
