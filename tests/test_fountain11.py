@@ -51,24 +51,43 @@ def prepare_scene(max_pairs_corrs=2000):
                     np.stack([f1[t] for t in common]),
                     np.stack([f2[t] for t in common]))
 
-    graph = ViewGraph()
-    key = jax.random.PRNGKey(3)
-    opts = TwoViewInfoOptions()
-    for (v1, v2), (pix1, pix2) in pair_corr.items():
+    # batched two-view estimation: ALL pairs in one vmapped device call
+    from theiasfm_tpu.sfm.pipeline.twoview import (
+        estimate_twoview_info_batch)
+    from theiasfm_tpu.utils import next_bucket
+
+    pairs = sorted(pair_corr.keys())
+    P = len(pairs)
+    N = next_bucket(min(max(len(pair_corr[p][0]) for p in pairs),
+                        max_pairs_corrs), 256)
+    pix1 = np.zeros((P, N, 2))
+    pix2 = np.zeros((P, N, 2))
+    mask = np.zeros((P, N), bool)
+    f1 = np.zeros(P); f2 = np.zeros(P)
+    pp1 = np.zeros((P, 2)); pp2 = np.zeros((P, 2))
+    for i, (v1, v2) in enumerate(pairs):
+        a, b = pair_corr[(v1, v2)]
+        if len(a) > N:
+            sel = np.random.default_rng(0).choice(len(a), N,
+                                                  replace=False)
+            a, b = a[sel], b[sel]
+        pix1[i, :len(a)] = a
+        pix2[i, :len(b)] = b
+        mask[i, :len(a)] = True
         cam1 = recon.views[v1].camera
         cam2 = recon.views[v2].camera
-        if len(pix1) > max_pairs_corrs:
-            sel = np.random.default_rng(0).choice(
-                len(pix1), max_pairs_corrs, replace=False)
-            pix1, pix2 = pix1[sel], pix2[sel]
-        key, k = jax.random.split(key)
-        info, inl = estimate_twoview_info(
-            k, jnp.asarray(pix1), jnp.asarray(pix2),
-            cam1.intrinsics[0], cam2.intrinsics[0], opts,
-            pp1=tuple(cam1.intrinsics[3:5]),
-            pp2=tuple(cam2.intrinsics[3:5]))
-        if info.num_verified_matches >= 30:
-            graph.add_edge(v1, v2, info)
+        f1[i], f2[i] = cam1.intrinsics[0], cam2.intrinsics[0]
+        pp1[i] = cam1.intrinsics[3:5]
+        pp2[i] = cam2.intrinsics[3:5]
+
+    infos, inl = estimate_twoview_info_batch(
+        jax.random.PRNGKey(3), pix1, pix2, mask, f1, f2, pp1, pp2,
+        TwoViewInfoOptions())
+    graph = ViewGraph()
+    for i, (v1, v2) in enumerate(pairs):
+        if infos[i] is not None and \
+                infos[i].num_verified_matches >= 30:
+            graph.add_edge(v1, v2, infos[i])
     return recon, graph
 
 

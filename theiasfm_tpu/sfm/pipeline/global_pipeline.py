@@ -89,7 +89,7 @@ def _run_ba(recon: Reconstruction, opts: GlobalOptions):
     ba_opts = BAOptions(
         model_type=int(model_type), loss=opts.ba_loss,
         loss_scale=opts.ba_loss_scale_pixels,
-        max_iterations=40, cg_iterations=80,
+        max_iterations=100, cg_iterations=80,
         optimize_intrinsics=tuple(opts.intrinsics_optimized))
     out, summary = bundle_adjust_bucketed(prob, ba_opts)
     recon.update_from_ba(out, maps)

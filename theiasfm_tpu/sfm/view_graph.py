@@ -32,6 +32,26 @@ def _key(v1: int, v2: int) -> Tuple[int, int]:
     return (v1, v2) if v1 < v2 else (v2, v1)
 
 
+def swap_two_view_info(info: TwoViewInfo) -> TwoViewInfo:
+    """Invert the relative geometry: if info describes camera b w.r.t.
+    camera a (R_ab, position of b in a's frame), return the a-w.r.t.-b
+    form: R_ba = R_ab^T, position' = -R_ab @ position
+    (ref TwoViewInfo::SwapCameras)."""
+    import jax.numpy as jnp
+
+    from ..math import rotation as rot
+    R_ab = np.asarray(rot.angle_axis_to_rotation_matrix(
+        jnp.asarray(np.asarray(info.rotation_2, float))))
+    return TwoViewInfo(
+        focal_length_1=info.focal_length_2,
+        focal_length_2=info.focal_length_1,
+        rotation_2=-np.asarray(info.rotation_2, float),
+        position_2=-(R_ab @ np.asarray(info.position_2, float)),
+        num_verified_matches=info.num_verified_matches,
+        num_homography_inliers=info.num_homography_inliers,
+        visibility_score=info.visibility_score)
+
+
 class ViewGraph:
     """ref: ViewGraph (view_graph.h)."""
 
@@ -55,8 +75,14 @@ class ViewGraph:
         return sorted(self._adj.keys())
 
     def add_edge(self, v1: int, v2: int, info: TwoViewInfo):
+        """Edges are stored with ordered ids; when the caller passes
+        v1 > v2 the TwoViewInfo payload is swapped to keep the
+        '2 relative to 1' convention (ref ViewGraph::AddEdge /
+        TwoViewInfo::SwapCameras, twoview_info.cc)."""
         if v1 == v2:
             return
+        if v1 > v2:
+            info = swap_two_view_info(info)
         self._edges[_key(v1, v2)] = info
         self._adj.setdefault(v1, set()).add(v2)
         self._adj.setdefault(v2, set()).add(v1)
