@@ -122,3 +122,21 @@ def test_to_ba_problem_round_trip(rng):
     r.update_from_ba(prob2, maps)
     np.testing.assert_allclose(r.track(tids[0]).xyz(),
                                np.asarray(prob.points[0]) + 1.0)
+
+
+def test_sfm_utils(rng):
+    from theiasfm_tpu.sfm.utils import (find_common_tracks_in_views,
+                                        find_common_views_by_name)
+    r = Reconstruction()
+    v1, v2, v3 = [r.add_view(f"u{i}.jpg") for i in range(3)]
+    t1, t2 = r.add_track(), r.add_track()
+    r.add_observation(v1, t1, (0, 0))
+    r.add_observation(v2, t1, (1, 1))
+    r.add_observation(v2, t2, (2, 2))
+    r.add_observation(v3, t2, (3, 3))
+    assert find_common_tracks_in_views(r, [v1, v2]) == [t1]
+    assert find_common_tracks_in_views(r, [v1, v3]) == []
+    r2 = Reconstruction()
+    r2.add_view("u1.jpg")
+    r2.add_view("zz.jpg")
+    assert find_common_views_by_name(r, r2) == ["u1.jpg"]
