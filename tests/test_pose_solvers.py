@@ -179,3 +179,32 @@ def test_relative_pose_known_rotation(rng):
         x1, x2, jnp.asarray(R))
     assert bool(valid)
     np.testing.assert_allclose(np.asarray(t_got), tu, atol=1e-8)
+
+
+def test_p4pf(rng):
+    """ref four_point_focal_length_test.cc: recover pose + focal from 4
+    points (principal-point-centered pixels)."""
+    from theiasfm_tpu.sfm.pose.p4pf import p4pf
+    ok = 0
+    trials = 20
+    for _ in range(trials):
+        aa = rng.normal(size=3) * 0.4
+        c = rng.normal(size=3)
+        focal = rng.uniform(400, 1500)
+        R = np.asarray(rot.angle_axis_to_rotation_matrix(jnp.asarray(aa)))
+        world = rng.uniform([-2, -2, 4], [2, 2, 9], size=(4, 3)) + c
+        cam = (world - c) @ R.T
+        if np.any(cam[:, 2] < 0.5):
+            trials -= 1
+            continue
+        image = cam[:, :2] / cam[:, 2:] * focal
+        models, valid = p4pf(jnp.asarray(world), jnp.asarray(image))
+        models = np.asarray(models)
+        for i in range(4):
+            if not bool(valid[i]):
+                continue
+            if (np.linalg.norm(models[i, :3] - c) < 0.05 and
+                    abs(models[i, 6] - focal) / focal < 0.02):
+                ok += 1
+                break
+    assert ok >= 0.85 * trials, (ok, trials)

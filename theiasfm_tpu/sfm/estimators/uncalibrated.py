@@ -21,6 +21,46 @@ from ..pose.focal_from_fundamental import focal_lengths_from_fundamental
 from ..pose.twoview_utils import sampson_distance_sq
 
 
+def p4pf_spec() -> MinimalSolverSpec:
+    """4-pt pose+focal minimal solver (ref P4Pf role,
+    estimate_uncalibrated_absolute_pose.cc). Model: (10,) padded
+    [extrinsics(6), focal, aspect=1, ppx=0, ppy=0]; data in
+    principal-point-centered pixels."""
+    from ..pose.p4pf import p4pf
+
+    def solve(d):
+        models, valid = p4pf(d["world"], d["image"])  # (4, 7)
+        pad = jnp.zeros((models.shape[0], 3), models.dtype)
+        pad = pad.at[:, 0].set(1.0)  # aspect
+        out = jnp.concatenate(
+            [models[:, :6], models[:, 6:7], pad], axis=-1)
+        return out, valid
+
+    def residuals(model, d):
+        extr = model[:6]
+        f = model[6]
+        p_cam = rot.angle_axis_rotate_point(
+            jnp.broadcast_to(extr[3:6], d["world"].shape),
+            d["world"] - extr[0:3])
+        z = p_cam[..., 2]
+        bad = z < 1e-6
+        zs = jnp.where(bad, 1.0, z)
+        proj = p_cam[..., :2] / zs[..., None] * f
+        err = jnp.sum((proj - d["image"]) ** 2, axis=-1)
+        return jnp.where(bad, 1e12, err)
+
+    def refine(model, d, w):
+        from ..pose.dlt_pnp import decompose_projection_matrix, dlt_pnp
+        P, ok = dlt_pnp(d["world"], d["image"], weights=w)
+        K, extr = decompose_projection_matrix(P)
+        new = jnp.concatenate([extr, jnp.stack(
+            [K[0, 0], K[1, 1] / K[0, 0], K[0, 2], K[1, 2]])])
+        good = ok & jnp.all(jnp.isfinite(new))
+        return jnp.where(good, new, model)
+
+    return MinimalSolverSpec("p4pf", 4, 4, solve, residuals, refine)
+
+
 def uncalibrated_absolute_pose_spec() -> MinimalSolverSpec:
     """Model: (10,) [extrinsics(6), focal, aspect, ppx, ppy].
     Data: {"world": (N,3), "image": (N,2) pixels (pp-centered ok)}."""
@@ -55,8 +95,9 @@ def uncalibrated_absolute_pose_spec() -> MinimalSolverSpec:
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_uncal_abs(options: RansacOptions):
-    spec = uncalibrated_absolute_pose_spec()
+def _jitted_uncal_abs(options: RansacOptions, solver: str = "p4pf"):
+    spec = (p4pf_spec() if solver == "p4pf"
+            else uncalibrated_absolute_pose_spec())
     return jax.jit(lambda key, data, mask: ransac(
         key, spec, data, options, data_mask=mask))
 
