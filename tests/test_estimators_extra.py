@@ -91,3 +91,45 @@ def test_estimate_triangulation(rng, key):
     assert int(out["num_inliers"]) >= 15
     np.testing.assert_allclose(np.asarray(out["point"]), X_true,
                                atol=1e-6)
+
+
+def test_dominant_plane(rng, key):
+    from theiasfm_tpu.sfm.estimators.transforms import (
+        estimate_dominant_plane_from_points)
+    n_true = np.array([0.2, 0.5, 1.0]); n_true /= np.linalg.norm(n_true)
+    d_true = -2.0
+    # points on plane + noise + outliers
+    basis = np.linalg.svd(n_true[None])[2][1:]
+    uv = rng.uniform(-5, 5, (80, 2))
+    pts = uv @ basis - d_true * n_true
+    pts += 0.01 * rng.normal(size=pts.shape)
+    pts = np.concatenate([pts, rng.uniform(-5, 5, (20, 3))])
+    opts = RansacOptions(error_thresh=0.01, num_hypotheses=64)
+    out = estimate_dominant_plane_from_points(
+        key, jnp.asarray(pts), opts)
+    assert int(out["num_inliers"]) >= 75
+    plane = np.asarray(out["plane"])
+    n_est = plane[:3] * np.sign(plane[:3] @ n_true)
+    assert np.abs(n_est - n_true).max() < 0.01
+
+
+def test_cycle_filter(rng):
+    from theiasfm_tpu.sfm.global_pose.cycle_filter import (
+        filter_view_graph_cycles_by_rotation)
+    from theiasfm_tpu.sfm.view_graph import TwoViewInfo, ViewGraph
+    from theiasfm_tpu.math import rotation as rot
+    aa_gt = rng.normal(size=(6, 3)) * 0.4
+    R = np.asarray(rot.angle_axis_to_rotation_matrix(jnp.asarray(aa_gt)))
+    g = ViewGraph()
+    for i in range(6):
+        for j in range(i + 1, 6):
+            aa_ij = np.asarray(rot.rotation_matrix_to_angle_axis(
+                jnp.asarray(R[j] @ R[i].T)))
+            g.add_edge(i, j, TwoViewInfo(rotation_2=aa_ij,
+                                         num_verified_matches=50))
+    # corrupt one edge badly
+    g.edge(0, 3).rotation_2 = rng.normal(size=3) + 2.0
+    removed = filter_view_graph_cycles_by_rotation(g, 3.0)
+    assert removed >= 1
+    assert not g.has_edge(0, 3)
+    assert g.has_edge(0, 1) and g.has_edge(4, 5)

@@ -124,6 +124,66 @@ def triangulation_spec() -> MinimalSolverSpec:
                              refine)
 
 
+def plane_spec() -> MinimalSolverSpec:
+    """3-point plane RANSAC (ref
+    estimate_dominant_plane_from_points.cc). Model: (4,) [n(3), d] with
+    n.x + d = 0, ||n|| = 1. Residual: squared point-plane distance."""
+    def solve(d):
+        p = d["points"]
+        n = jnp.cross(p[1] - p[0], p[2] - p[0])
+        norm = jnp.linalg.norm(n)
+        ok = norm > 1e-12
+        n = n / jnp.where(ok, norm, 1.0)
+        off = -jnp.dot(n, p[0])
+        return jnp.concatenate([n, off[None]])[None], ok[None]
+
+    def residuals(model, d):
+        return (d["points"] @ model[:3] + model[3]) ** 2
+
+    def refine(model, d, w):
+        # weighted total least squares plane: centroid + smallest
+        # eigenvector of the weighted covariance
+        p = d["points"]
+        sw = jnp.maximum(jnp.sum(w), 1e-12)
+        mu = jnp.sum(p * w[:, None], axis=0) / sw
+        q = (p - mu) * jnp.sqrt(w)[:, None]
+        C = q.T @ q
+        _, V = jnp.linalg.eigh(C)
+        n = V[:, 0]
+        off = -jnp.dot(n, mu)
+        new = jnp.concatenate([n, off[None]])
+        return jnp.where(jnp.all(jnp.isfinite(new)), new, model)
+
+    return MinimalSolverSpec("dominant_plane", 3, 1, solve, residuals,
+                             refine)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_plane(options: RansacOptions):
+    spec = plane_spec()
+    return jax.jit(lambda key, data, mask: ransac(
+        key, spec, data, options, data_mask=mask))
+
+
+def estimate_dominant_plane_from_points(key, points,
+                                        options: RansacOptions,
+                                        mask=None):
+    from ...utils import next_bucket
+    n = points.shape[0]
+    b = next_bucket(n, 16)
+    if mask is None:
+        mask = jnp.ones(n, bool)
+    if b != n:
+        pad = b - n
+        points = jnp.concatenate([points,
+                                  jnp.zeros((pad, 3), points.dtype)])
+        mask = jnp.concatenate([mask, jnp.zeros(pad, bool)])
+    model, summary = _jitted_plane(options)(
+        key, {"points": points}, mask)
+    return {"plane": model, "inliers": summary.inliers[:n],
+            "num_inliers": summary.num_inliers}
+
+
 @functools.lru_cache(maxsize=None)
 def _jitted_triangulation(options: RansacOptions):
     spec = triangulation_spec()

@@ -40,6 +40,9 @@ logger = logging.getLogger(__name__)
 class GlobalOptions:
     """ref: ReconstructionEstimatorOptions global subset."""
     min_num_two_view_inliers: int = 30
+    # ref: FilterViewGraphCyclesByRotation before rotation averaging
+    filter_cycles_by_rotation: bool = True
+    cycle_max_loop_error_degrees: float = 5.0
     rotation_filtering_max_difference_degrees: float = 5.0
     position_estimator: str = "nonlinear"  # 'nonlinear' | 'lud'
     refine_relative_translations: bool = True
@@ -167,6 +170,18 @@ def global_reconstruction(recon: Reconstruction, graph: ViewGraph,
     graph.remove_disconnected_views()
     if graph.num_views() < 3:
         return {"success": False, "reason": "view graph too small"}
+
+    # 2b. triplet rotation-cycle consistency filter
+    if opts.filter_cycles_by_rotation:
+        from ..global_pose.cycle_filter import (
+            filter_view_graph_cycles_by_rotation)
+        n_cyc = filter_view_graph_cycles_by_rotation(
+            graph, opts.cycle_max_loop_error_degrees)
+        graph.remove_disconnected_views()
+        logger.info("cycle filter removed %d edges", n_cyc)
+        if graph.num_views() < 3:
+            return {"success": False,
+                    "reason": "cycle filter emptied graph"}
 
     # 3. rotations
     vids = graph.view_ids()
