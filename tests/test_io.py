@@ -121,3 +121,27 @@ def test_colmap_and_ply_export(tmp_path, rng):
     write_ply(r, str(tmp_path / "cloud.ply"))
     txt = (tmp_path / "cloud.ply").read_text()
     assert "element vertex 24" in txt  # 20 points + 4 cameras
+
+
+def test_sift_key_files(tmp_path, rng):
+    from theiasfm_tpu.io import (read_sift_binary, read_sift_text,
+                                 write_sift_binary, write_sift_text)
+    kps = rng.uniform(0, 500, (30, 4))
+    desc = rng.uniform(0, 0.3, (30, 128)).astype(np.float32)
+    write_sift_text(str(tmp_path / "a.key"), kps, desc)
+    k2, d2 = read_sift_text(str(tmp_path / "a.key"))
+    np.testing.assert_allclose(k2[:, :2], kps[:, :2], atol=0.01)
+    np.testing.assert_allclose(d2, desc, atol=1.0 / 512)
+    write_sift_binary(str(tmp_path / "a.bkey"), kps, desc)
+    k3, d3 = read_sift_binary(str(tmp_path / "a.bkey"))
+    np.testing.assert_allclose(k3, kps, rtol=1e-6)
+    np.testing.assert_allclose(d3, desc, rtol=1e-6)
+
+
+def test_pmvs_export(tmp_path, rng):
+    from theiasfm_tpu.io import export_pmvs
+    r = make_recon(rng)
+    n = export_pmvs(r, str(tmp_path / "pmvs"))
+    assert n == 4
+    assert (tmp_path / "pmvs" / "txt" / "00000000.txt").exists()
+    assert (tmp_path / "pmvs" / "pmvs_options.txt").exists()

@@ -9,3 +9,7 @@ from .nvm import read_nvm, write_nvm  # noqa: F401
 from .colmap import write_colmap  # noqa: F401
 from .strecha import read_strecha_dataset  # noqa: F401
 from .calibration import read_calibration, write_calibration  # noqa: F401
+from .sift_key import (  # noqa: F401
+    read_sift_binary, read_sift_text, write_sift_binary, write_sift_text,
+)
+from .pmvs import export_pmvs  # noqa: F401
