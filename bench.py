@@ -25,6 +25,7 @@ def main():
 
     from __graft_entry__ import _make_problem
     from theiasfm_tpu.sfm.ba import BAOptions, bundle_adjust
+    from theiasfm_tpu.sfm.ba.bundle_adjustment import pad_ba_problem
 
     prob = _make_problem(n_cams=550, n_pts=140_000, obs_per_pt=4,
                          dtype=jnp.float32)

@@ -156,3 +156,30 @@ def test_ba_jit(rng):
     run = jax.jit(lambda p: bundle_adjust(p, opts))
     out, summary = run(noisy)
     assert float(summary.final_cost) < float(summary.initial_cost)
+
+
+def test_bucketed_matches_direct(rng):
+    """The (experimental) gather-reduce path and the bucketed path must
+    match plain segment_sum BA."""
+    from theiasfm_tpu.sfm.ba.bundle_adjustment import (
+        bundle_adjust_bucketed, pad_ba_problem)
+    gt = make_ba_problem(rng, n_cams=5, n_pts=60)
+    noisy = perturb(gt, rng)
+    opts = BAOptions(max_iterations=8, cg_iterations=30,
+                     function_tolerance=0.0)
+    out_direct, s_direct = bundle_adjust(noisy, opts)
+    # explicit gather-reduce maps path
+    padded = pad_ba_problem(noisy, build_reduction_maps=True)
+    out_maps, s_maps = bundle_adjust(padded, opts)
+    np.testing.assert_allclose(float(s_maps.final_cost),
+                               float(s_direct.final_cost),
+                               rtol=0.1, atol=1e-15)
+    out_bucket, s_bucket = bundle_adjust_bucketed(noisy, opts)
+    # padding changes summation order/CG trajectory; both must converge
+    np.testing.assert_allclose(float(s_bucket.final_cost),
+                               float(s_direct.final_cost),
+                               rtol=0.1, atol=1e-15)
+    # the global similarity gauge is free, so solutions may drift apart
+    # slightly even though both fit exactly
+    np.testing.assert_allclose(np.asarray(out_bucket.points),
+                               np.asarray(out_direct.points), atol=1e-3)

@@ -36,6 +36,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ...camera import models as cm
 from .losses import robust_weight
@@ -53,6 +54,18 @@ class BAProblem(NamedTuple):
     obs_mask: jnp.ndarray      # (M,) bool (False = padding)
     cam_mask: Optional[jnp.ndarray] = None   # (Nc,) False = hold constant
     point_mask: Optional[jnp.ndarray] = None  # (Np,)
+    # Optional scatter-free reduction maps (pad_ba_problem can build
+    # them with build_reduction_maps=True):
+    # segment_sum(x, obs_cam) == sum(x[cam_idx_map] * cam_idx_valid).
+    # NOTE: measured SLOWER than segment_sum on v5e for this problem
+    # shape (0.33 vs 1.23 LM iters/s at Notre-Dame scale) — kept as an
+    # experimental knob, off by default.
+    cam_idx_map: Optional[jnp.ndarray] = None    # (Nc, Cmax) int32
+    cam_idx_valid: Optional[jnp.ndarray] = None  # (Nc, Cmax) bool
+    pt_idx_map: Optional[jnp.ndarray] = None     # (Np, Pmax) int32
+    pt_idx_valid: Optional[jnp.ndarray] = None   # (Np, Pmax) bool
+    grp_idx_map: Optional[jnp.ndarray] = None    # (Ng, Gmax) int32
+    grp_idx_valid: Optional[jnp.ndarray] = None  # (Ng, Gmax) bool
 
 
 @dataclasses.dataclass(frozen=True)
@@ -187,12 +200,49 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
 
     obs_valid = prob.obs_mask
 
-    def seg_cam(x):
-        return jax.ops.segment_sum(x, prob.obs_cam, num_segments=Nc)
+    def _gather_reduce(x, idx_map, idx_valid):
+        """segment_sum(x, idx) == masked gather + dense reduce.
 
-    def seg_grp(x):
-        return jax.ops.segment_sum(x, prob.obs_group, num_segments=Ng)
+        Trailing dims are FLATTENED before the gather and the reduction
+        runs in chunks over the per-segment axis — both to dodge the
+        (..., 6, 6)-style tile-padding blowup (XLA pads the last two
+        dims to (8, 128); an (E, Kmax, 6, 6) temp would inflate 28x).
+        """
+        E, Kmax = idx_map.shape
+        xf = x.reshape(x.shape[0], -1)                 # (M, F)
+        F = xf.shape[1]
+        CH = min(Kmax, 128)
+        vf = idx_valid.astype(x.dtype)
 
+        def chunk(i, acc):
+            sl = jax.lax.dynamic_slice_in_dim(idx_map, i * CH, CH, 1)
+            vl = jax.lax.dynamic_slice_in_dim(vf, i * CH, CH, 1)
+            g = xf[sl]                                 # (E, CH, F)
+            return acc + jnp.einsum("ecf,ec->ef", g, vl)
+
+        acc = jnp.zeros((E, F), x.dtype)
+        acc = jax.lax.fori_loop(0, Kmax // CH, chunk, acc)
+        return acc.reshape((E,) + x.shape[1:])
+
+    if prob.cam_idx_map is not None:
+        def seg_cam(x):
+            return _gather_reduce(x, prob.cam_idx_map,
+                                  prob.cam_idx_valid)
+    else:
+        def seg_cam(x):
+            return jax.ops.segment_sum(x, prob.obs_cam, num_segments=Nc)
+
+    if prob.grp_idx_map is not None:
+        def seg_grp(x):
+            return _gather_reduce(x, prob.grp_idx_map,
+                                  prob.grp_idx_valid)
+    else:
+        def seg_grp(x):
+            return jax.ops.segment_sum(x, prob.obs_group,
+                                       num_segments=Ng)
+
+    # points: many segments with few members each — the chunked gather
+    # wins nothing there; sorted segment_sum is the fast path
     def seg_pt(x):
         return jax.ops.segment_sum(
             x, prob.obs_pt, num_segments=Np,
@@ -374,8 +424,30 @@ def _diagonal_only(A):
 # time) reuse the jit cache instead of recompiling (utils/padding
 # discipline).
 
+def _build_idx_map(indices: np.ndarray, num_segments: int,
+                   pad_target: int, bucket_min: int = 4):
+    """Host-side inverse map: for each segment, the (padded) list of
+    observation indices. Padding slots point at `pad_target` (a masked
+    observation) with valid=False."""
+    from ...utils import next_bucket
+    counts = np.bincount(indices, minlength=num_segments)
+    kmax = next_bucket(int(counts.max()) if len(counts) else 1,
+                       bucket_min)
+    order = np.argsort(indices, kind="stable")
+    idx_map = np.full((num_segments, kmax), pad_target, np.int32)
+    valid = np.zeros((num_segments, kmax), bool)
+    starts = np.zeros(num_segments + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    sorted_idx = indices[order]
+    ranks = np.arange(len(order)) - starts[sorted_idx]
+    idx_map[sorted_idx, ranks] = order
+    valid[sorted_idx, ranks] = True
+    return idx_map, valid
+
+
 def pad_ba_problem(prob: BAProblem, minimum: int = 8,
-                   sort_by_point: bool = True) -> BAProblem:
+                   sort_by_point: bool = True,
+                   build_reduction_maps: bool = False) -> BAProblem:
     from ...utils import next_bucket
 
     if sort_by_point and prob.obs_pt.shape[0] > 0:
@@ -405,19 +477,37 @@ def pad_ba_problem(prob: BAProblem, minimum: int = 8,
     # they have no observations so they contribute nothing.
     points = padrows(prob.points, Npb)
     intr = padrows(prob.intrinsics, Ngb, 1.0)
+    obs_cam_p = padrows(prob.obs_cam, Mb)
+    obs_group_p = padrows(prob.obs_group, Mb)
+    # pad with the LAST point index so obs_pt stays non-decreasing
+    # (enables indices_are_sorted in the point segment reductions)
+    obs_pt_p = padrows(prob.obs_pt, Mb, Npb - 1)
+
+    maps = {}
+    if build_reduction_maps and M > 0:
+        # scatter-free reduction maps (padding obs at index Mb-1 which is
+        # masked whenever Mb > M; when Mb == M the targets are valid but
+        # idx_valid masks the padded slots anyway)
+        cm_, cv_ = _build_idx_map(np.asarray(obs_cam_p[:M]), Ncb, Mb - 1)
+        gm_, gv_ = _build_idx_map(np.asarray(obs_group_p[:M]), Ngb,
+                                  Mb - 1)
+        maps = dict(
+            cam_idx_map=jnp.asarray(cm_), cam_idx_valid=jnp.asarray(cv_),
+            grp_idx_map=jnp.asarray(gm_), grp_idx_valid=jnp.asarray(gv_),
+        )
+
     return BAProblem(
         extrinsics=padrows(prob.extrinsics, Ncb),
         intrinsics=intr,
         points=points,
-        obs_cam=padrows(prob.obs_cam, Mb),
-        obs_group=padrows(prob.obs_group, Mb),
-        # pad with the LAST point index so obs_pt stays non-decreasing
-        # (enables indices_are_sorted in the point segment reductions)
-        obs_pt=padrows(prob.obs_pt, Mb, Npb - 1),
+        obs_cam=obs_cam_p,
+        obs_group=obs_group_p,
+        obs_pt=obs_pt_p,
         obs_pix=padrows(prob.obs_pix, Mb),
         obs_mask=padrows(prob.obs_mask, Mb, False),
         cam_mask=padrows(cam_mask, Ncb, False),
         point_mask=padrows(point_mask, Npb, False),
+        **maps,
     )
 
 
