@@ -208,3 +208,32 @@ def test_p4pf(rng):
                 ok += 1
                 break
     assert ok >= 0.85 * trials, (ok, trials)
+
+
+def test_epnp(rng):
+    """EPnP (nonminimal PnP, the DLS-PnP/UPnP role) + GN polish."""
+    from theiasfm_tpu.sfm.pose.epnp import epnp
+    from theiasfm_tpu.sfm.estimators import refine_absolute_pose_gn
+    ok_count = 0
+    trials = 20
+    for _ in range(trials):
+        aa = rng.normal(size=3) * 0.4
+        c = rng.normal(size=3)
+        R = np.asarray(rot.angle_axis_to_rotation_matrix(jnp.asarray(aa)))
+        world = rng.uniform([-2, -2, 4], [2, 2, 9], size=(30, 3)) + c
+        cam = (world - c) @ R.T
+        if np.any(cam[:, 2] < 0.5):
+            trials -= 1
+            continue
+        image = cam[:, :2] / cam[:, 2:]
+        extr, ok = epnp(jnp.asarray(world), jnp.asarray(image))
+        if not bool(ok):
+            continue
+        extr = refine_absolute_pose_gn(extr, jnp.asarray(world),
+                                       jnp.asarray(image),
+                                       jnp.ones(len(world)))
+        extr = np.asarray(extr)
+        if (np.linalg.norm(extr[:3] - c) < 1e-4 and
+                np.linalg.norm(extr[3:] - aa) < 1e-4):
+            ok_count += 1
+    assert ok_count >= 0.9 * trials, (ok_count, trials)

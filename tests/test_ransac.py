@@ -106,3 +106,29 @@ def test_hypotheses_for_confidence():
     h = hypotheses_for_confidence(2, 0.5, 0.01)
     assert 15 <= h <= 17  # log(0.01)/log(0.75) ~ 16
     assert hypotheses_for_confidence(5, 0.9, 0.01) < 10
+
+
+def test_evsac_weighted_sampling(rng, key):
+    """EVSAC-style weighted sampling beats uniform at low inlier ratio
+    (ref evsac_sampler role)."""
+    from theiasfm_tpu.solvers.evsac import evsac_probabilities
+    # 20% inliers; inliers have small "match distances"
+    data, _ = make_line_data(rng, n_inl=30, n_out=120)
+    # rebuild with known layout: first 30 rows inliers
+    x = rng.uniform(-10, 10, size=30)
+    inl = np.stack([x, 2.0 * x - 1.0 + rng.normal(scale=0.05, size=30)],
+                   -1)
+    out = rng.uniform(-10, 10, size=(120, 2)) * np.array([1.0, 5.0])
+    data = jnp.asarray(np.concatenate([inl, out]))
+    dist = np.concatenate([rng.uniform(0.1, 0.3, 30),
+                           rng.uniform(0.4, 1.0, 120)])
+    probs = evsac_probabilities(jnp.asarray(dist))
+    probs_np = np.asarray(probs)
+    assert probs_np[:30].mean() > probs_np[30:].mean() + 0.3
+
+    opts = RansacOptions(error_thresh=0.1, num_hypotheses=24,
+                         sampler="weighted")
+    model, summary = ransac(key, line_spec(), data, opts,
+                            sample_weights=probs)
+    m, b = np.asarray(model)
+    assert abs(m - 2.0) < 0.05 and abs(b + 1.0) < 0.15

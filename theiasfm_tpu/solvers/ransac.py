@@ -174,7 +174,8 @@ def _score_models(residual_fn, models, models_valid, data, data_mask,
 
 
 def ransac(key, spec: MinimalSolverSpec, data, options: RansacOptions,
-           data_mask=None, num_data=None, sort_order=None):
+           data_mask=None, num_data=None, sort_order=None,
+           sample_weights=None):
     """Run batched RANSAC.
 
     Args:
@@ -193,7 +194,16 @@ def ransac(key, spec: MinimalSolverSpec, data, options: RansacOptions,
     N = jax.tree_util.tree_leaves(data)[0].shape[0]
     H = options.num_hypotheses
 
-    if options.sampler == "random":
+    if options.sampler == "weighted" or (options.sampler == "random" and
+                                         sample_weights is not None):
+        # EVSAC-style probability-proportional sampling
+        # (ref evsac_sampler.h; weights from solvers/evsac.py)
+        from .evsac import weighted_samples
+        w = sample_weights
+        if data_mask is not None:
+            w = w * data_mask
+        idx = weighted_samples(key, w, spec.sample_size, H)
+    elif options.sampler == "random":
         idx = random_samples(key, N, spec.sample_size, H, data_mask)
     elif options.sampler == "prosac":
         if sort_order is not None:
