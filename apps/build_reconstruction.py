@@ -53,11 +53,18 @@ def main():
     p.add_argument("--intrinsics_to_optimize", default="FOCAL_LENGTH",
                    choices=["NONE", "FOCAL_LENGTH", "ALL"])
     p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--platform", default="",
+                   help="force a jax platform (e.g. cpu) — useful when "
+                        "remote-TPU compile latency dominates small jobs")
     args = p.parse_args()
 
     logging.basicConfig(
         level=logging.INFO if args.verbose else logging.WARNING,
         format="%(levelname)s %(name)s: %(message)s")
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
 
     from theiasfm_tpu.image import SiftOptions
     from theiasfm_tpu.io import read_calibration, write_reconstruction

@@ -23,8 +23,30 @@ import jax.numpy as jnp
 
 __all__ = [
     "solve_quadratic", "solve_cubic", "solve_quartic",
-    "poly_roots", "polyval", "real_roots_mask",
+    "poly_roots", "polyval", "real_roots_mask", "char_poly",
 ]
+
+
+def char_poly(A):
+    """Characteristic polynomial of (..., n, n) -> (..., n+1) monic
+    coefficients, highest degree first, via the Faddeev-LeVerrier
+    recurrence (n matmuls — MXU-friendly, no nonsymmetric eig).
+
+    Combined with `poly_roots` this replaces the reference's LAPACK
+    companion-matrix eigensolves for tiny dense eigenproblems (e.g. QEP
+    linearizations in the partial-rotation solvers,
+    ref: src/theia/sfm/pose/three_point_relative_pose_partial_rotation.cc:61-141).
+    """
+    n = A.shape[-1]
+    eye = jnp.eye(n, dtype=A.dtype)
+    coeffs = [jnp.ones(A.shape[:-2], A.dtype)]
+    Mk = jnp.zeros_like(A)
+    ck = coeffs[0]
+    for k in range(1, n + 1):
+        Mk = A @ (Mk + ck[..., None, None] * eye)
+        ck = -jnp.trace(Mk, axis1=-2, axis2=-1) / k
+        coeffs.append(ck)
+    return jnp.stack(coeffs, axis=-1)
 
 
 def polyval(coeffs, x):

@@ -9,3 +9,9 @@ from .seven_point import seven_point_fundamental  # noqa: F401
 from .homography import four_point_homography, npoint_homography  # noqa: F401
 from .p3p import p3p_grunert  # noqa: F401
 from .five_point import five_point_essential  # noqa: F401
+from .partial_rotation import (  # noqa: F401
+    two_point_pose_partial_rotation,
+    three_point_relative_pose_partial_rotation,
+    four_point_relative_pose_partial_rotation,
+    sim_transform_partial_rotation,
+)
