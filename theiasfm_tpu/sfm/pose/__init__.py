@@ -9,6 +9,7 @@ from .seven_point import seven_point_fundamental  # noqa: F401
 from .homography import four_point_homography, npoint_homography  # noqa: F401
 from .p3p import p3p_grunert  # noqa: F401
 from .five_point import five_point_essential  # noqa: F401
+from .upnp import upnp, dls_pnp  # noqa: F401
 from .partial_rotation import (  # noqa: F401
     two_point_pose_partial_rotation,
     three_point_relative_pose_partial_rotation,
