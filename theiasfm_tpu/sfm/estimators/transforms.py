@@ -210,3 +210,71 @@ def estimate_triangulation(key, origins, directions,
         key, {"origins": origins, "directions": directions}, mask)
     return {"point": X, "inliers": summary.inliers[:n],
             "num_inliers": summary.num_inliers}
+
+
+def similarity_transform_2d_3d_spec() -> MinimalSolverSpec:
+    """4-point gDLS similarity transform from camera rays to 3D points
+    (ref estimate_similarity_transformation_2d_3d.cc: RANSAC over
+    CameraAndFeatureCorrespondence2D3D with gDLS as the minimal solver).
+
+    Data: {"origin": (N, 3) ray origins, "dir": (N, 3) unit ray
+    directions, "point": (N, 3) world points}. Model (13,)
+    [R.flatten(9), t(3), s(1)] with R X + t - s o parallel to dir.
+    Residual: squared angular distance (1 - cos) between the ray and
+    the transformed point — the normalized-space analog of the
+    reference's pixel reprojection threshold."""
+    from ..pose.gdls import gdls_similarity_transform
+
+    def solve(d):
+        R, t, s, _ = gdls_similarity_transform(d["origin"], d["dir"],
+                                               d["point"], gn_iters=10)
+        model = jnp.concatenate([R.reshape(9), t, s[None]])
+        ok = jnp.all(jnp.isfinite(model))
+        return model[None], ok[None]
+
+    def residuals(model, d):
+        R = model[:9].reshape(3, 3)
+        t = model[9:12]
+        s = model[12]
+        v = d["point"] @ R.T + t - s * d["origin"]
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True),
+                            1e-12)
+        cos = jnp.sum(v * d["dir"], axis=-1)
+        return 1.0 - cos
+
+    return MinimalSolverSpec("similarity_2d_3d", 4, 1, solve, residuals)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_sim_2d3d(options: RansacOptions):
+    spec = similarity_transform_2d_3d_spec()
+    return jax.jit(lambda key, data, mask: ransac(
+        key, spec, data, options, data_mask=mask))
+
+
+def estimate_similarity_transform_2d_3d(key, ray_origins, ray_dirs,
+                                        points, options: RansacOptions,
+                                        mask=None):
+    """RANSAC gDLS: similarity aligning 3D points onto multi-camera
+    rays. error_thresh is on (1 - cos angle). Returns
+    dict(R, t, scale, inliers, num_inliers)."""
+    from ...utils import next_bucket
+    n = ray_origins.shape[0]
+    b = next_bucket(n, 16)
+    if mask is None:
+        mask = jnp.ones(n, bool)
+    if b != n:
+        pad = b - n
+        z = jnp.zeros((pad, 3), ray_origins.dtype)
+        ray_origins = jnp.concatenate([ray_origins, z])
+        ray_dirs = jnp.concatenate(
+            [ray_dirs, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]],
+                                            ray_dirs.dtype), (pad, 1))])
+        points = jnp.concatenate([points, z])
+        mask = jnp.concatenate([mask, jnp.zeros(pad, bool)])
+    model, summary = _jitted_sim_2d3d(options)(
+        key, {"origin": ray_origins, "dir": ray_dirs, "point": points},
+        mask)
+    return {"R": model[:9].reshape(3, 3), "t": model[9:12],
+            "scale": model[12], "inliers": summary.inliers[:n],
+            "num_inliers": summary.num_inliers}

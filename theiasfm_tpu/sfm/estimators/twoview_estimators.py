@@ -131,7 +131,9 @@ import functools
 def _singleton_spec(kind: str):
     return {"relative_pose": relative_pose_spec,
             "fundamental": fundamental_spec,
-            "homography": homography_spec}[kind]()
+            "homography": homography_spec,
+            "radial_homography":
+                lambda: radial_distortion_homography_spec()}[kind]()
 
 
 @functools.lru_cache(maxsize=None)
@@ -196,5 +198,42 @@ def estimate_homography(key, x1, x2, options: RansacOptions, mask=None):
     H, summary = _jitted_ransac("homography", options)(
         key, {"x1": x1p, "x2": x2p}, maskp)
     return {"H": H, "inliers": summary.inliers[:n],
+            "num_inliers": summary.num_inliers,
+            "confidence": summary.confidence}
+
+
+def radial_distortion_homography_spec() -> MinimalSolverSpec:
+    """6-pt two-sided radial-distortion homography (H6_l1l2) with the
+    symmetric distorted-space transfer error.
+    ref: estimate_radial_distortion_homography.cc."""
+    from ..pose.radial_homography import (
+        radial_homography_symmetric_error_sq,
+        six_point_radial_distortion_homography)
+
+    def solve(d):
+        return six_point_radial_distortion_homography(d["x1"], d["x2"])
+
+    def residuals(model, d):
+        return radial_homography_symmetric_error_sq(model, d["x1"],
+                                                    d["x2"])
+
+    return MinimalSolverSpec("radial_homography", 6, 2, solve, residuals)
+
+
+def estimate_radial_distortion_homography(key, x1, x2,
+                                          options: RansacOptions,
+                                          mask=None):
+    """RANSAC radial homography between two division-model cameras.
+
+    x1, x2 (N, 2) distorted NORMALIZED coordinates. Returns
+    dict(H, l1, l2, inliers, num_inliers, confidence)
+    (ref EstimateRadialHomographyMatrix,
+    estimate_radial_distortion_homography.h)."""
+    n = x1.shape[0]
+    x1p, x2p, maskp = _pad_pair(x1, x2, mask)
+    model, summary = _jitted_ransac("radial_homography", options)(
+        key, {"x1": x1p, "x2": x2p}, maskp)
+    return {"H": model["H"], "l1": model["l1"], "l2": model["l2"],
+            "inliers": summary.inliers[:n],
             "num_inliers": summary.num_inliers,
             "confidence": summary.confidence}

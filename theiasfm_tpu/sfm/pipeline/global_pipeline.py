@@ -222,6 +222,28 @@ def global_reconstruction(recon: Reconstruction, graph: ViewGraph,
         for (v1, v2), p in zip(edges, rel_pos):
             graph.edge(int(v1), int(v2)).position_2 = p
 
+    # 6a. optional parallel-rigid subgraph extraction
+    # (ref ExtractMaximallyParallelRigidSubgraph,
+    #  global_reconstruction_estimator.cc:381-402)
+    if opts.extract_maximal_rigid_subgraph and len(edges) > 3:
+        from ..global_pose.rigid_subgraph import (
+            extract_maximally_parallel_rigid_subgraph)
+        orient_map = {v: orientations[vid_idx[v]] for v in vids}
+        n_rm = extract_maximally_parallel_rigid_subgraph(orient_map, graph)
+        if n_rm:
+            logger.info("rigid subgraph removed %d views", n_rm)
+            graph.remove_disconnected_views()
+            vids2 = graph.view_ids()
+            if len(vids2) < 3:
+                return {"success": False,
+                        "reason": "rigid subgraph emptied graph"}
+            orientations = orientations[[vid_idx[v] for v in vids2]]
+            vids = vids2
+            vid_idx = {v: i for i, v in enumerate(vids)}
+            edges, rel_rot, rel_pos, weights = _graph_arrays(graph)
+            e_idx = np.asarray([[vid_idx[a], vid_idx[b]]
+                                for a, b in edges])
+
     # 6. 1DSfM translation filter
     if opts.filter_relative_translations and len(edges) > 3:
         keep = filter_view_pairs_from_relative_translation(

@@ -10,6 +10,15 @@ from .homography import four_point_homography, npoint_homography  # noqa: F401
 from .p3p import p3p_grunert  # noqa: F401
 from .five_point import five_point_essential  # noqa: F401
 from .upnp import upnp, dls_pnp  # noqa: F401
+from .gdls import gdls_similarity_transform  # noqa: F401
+from .pnp_focal_radial import (  # noqa: F401
+    four_point_focal_length_radial_distortion,
+    five_point_focal_length_radial_distortion,
+)
+from .radial_homography import (  # noqa: F401
+    six_point_radial_distortion_homography,
+    radial_homography_symmetric_error_sq,
+)
 from .partial_rotation import (  # noqa: F401
     two_point_pose_partial_rotation,
     three_point_relative_pose_partial_rotation,

@@ -36,7 +36,8 @@ import jax.numpy as jnp
 
 from ...math import rotation as rot
 
-__all__ = ["upnp", "dls_pnp", "upnp_cost_matrix"]
+__all__ = ["upnp", "dls_pnp", "upnp_cost_matrix", "multistart_refine_quat",
+           "so3_covering_quats"]
 
 
 def _so3_covering_quats():
@@ -76,6 +77,62 @@ def _so3_covering_quats():
 
 
 _COVERING = _so3_covering_quats()
+
+
+def so3_covering_quats():
+    """The fixed deterministic SO(3) multistart covering (S, 4)."""
+    return _COVERING
+
+
+def multistart_refine_quat(cost_q, starts, gn_iters: int = 12):
+    """Minimize a smooth cost over SO(3) (unit quaternions) by lockstep
+    multistart damped Newton — the shared engine behind upnp/dls_pnp/
+    gdls. ``cost_q(q) -> scalar`` must be jax-differentiable. Returns
+    the best quaternion (4,) over all starts. jit/vmap friendly."""
+
+    def refine(q0):
+        # Riemannian damped Newton on S^3, 3-DoF tangent steps. The
+        # cost is nonconvex (saddles/maxima abound), so instead of a
+        # data-dependent LM damping schedule — which would break
+        # lockstep vmap — each iteration evaluates a fixed ladder of
+        # dampings plus a pure gradient step and keeps the best.
+        eye3 = jnp.eye(3, dtype=q0.dtype)
+
+        def apply_delta(q, delta):
+            dq = jnp.concatenate([jnp.ones((1,), q.dtype), 0.5 * delta])
+            qn = rot.quaternion_multiply(q, dq)
+            return qn / jnp.linalg.norm(qn)
+
+        def step(_, q):
+            def local(delta):
+                return cost_q(apply_delta(q, delta))
+
+            z = jnp.zeros((3,), q.dtype)
+            g = jax.grad(local)(z)
+            H = jax.hessian(local)(z)
+            tr = jnp.abs(jnp.trace(H)) + 1e-12
+
+            lams = jnp.asarray([0.0, 1e-4, 1e-2, 1e-1, 1.0, 10.0],
+                               q.dtype) * tr
+
+            def newton_delta(lam):
+                return -jnp.linalg.solve(H + (lam + 1e-15) * eye3, g)
+
+            deltas = jax.vmap(newton_delta)(lams)          # (6, 3)
+            gstep = -0.3 * g / (jnp.linalg.norm(g) + 1e-12)
+            deltas = jnp.concatenate([deltas, gstep[None]], axis=0)
+            qns = jax.vmap(lambda d: apply_delta(q, d))(deltas)
+            costs = jax.vmap(cost_q)(qns)
+            costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
+            best = jnp.argmin(costs)
+            return jnp.where(costs[best] < cost_q(q), qns[best], q)
+
+        return jax.lax.fori_loop(0, gn_iters, step, q0)
+
+    qs = jax.vmap(refine)(starts)                       # (S, 4)
+    costs = jax.vmap(cost_q)(qs)
+    costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
+    return qs[jnp.argmin(costs)]
 
 
 def upnp_cost_matrix(ray_origins, ray_dirs, world_points):
@@ -130,49 +187,7 @@ def upnp(ray_origins, ray_dirs, world_points, gn_iters: int = 12):
         cost, _ = cost_of_R(R)
         return cost
 
-    def refine(q0):
-        # Riemannian damped Newton on S^3, 3-DoF tangent steps. The
-        # quartic is nonconvex (saddles/maxima abound), so instead of a
-        # data-dependent LM damping schedule — which would break lockstep
-        # vmap — each iteration evaluates a fixed ladder of dampings plus
-        # a pure gradient step and keeps the best. All static shapes.
-        eye3 = jnp.eye(3, dtype=q0.dtype)
-
-        def apply_delta(q, delta):
-            dq = jnp.concatenate([jnp.ones((1,), q.dtype), 0.5 * delta])
-            qn = rot.quaternion_multiply(q, dq)
-            return qn / jnp.linalg.norm(qn)
-
-        def step(_, q):
-            def local(delta):
-                return cost_q(apply_delta(q, delta))
-
-            z = jnp.zeros((3,), q.dtype)
-            g = jax.grad(local)(z)
-            H = jax.hessian(local)(z)
-            tr = jnp.abs(jnp.trace(H)) + 1e-12
-
-            lams = jnp.asarray([0.0, 1e-4, 1e-2, 1e-1, 1.0, 10.0],
-                               q.dtype) * tr
-
-            def newton_delta(lam):
-                return -jnp.linalg.solve(H + (lam + 1e-15) * eye3, g)
-
-            deltas = jax.vmap(newton_delta)(lams)          # (6, 3)
-            gstep = -0.3 * g / (jnp.linalg.norm(g) + 1e-12)
-            deltas = jnp.concatenate([deltas, gstep[None]], axis=0)
-            qns = jax.vmap(lambda d: apply_delta(q, d))(deltas)
-            costs = jax.vmap(cost_q)(qns)
-            costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
-            best = jnp.argmin(costs)
-            return jnp.where(costs[best] < cost_q(q), qns[best], q)
-
-        return jax.lax.fori_loop(0, gn_iters, step, q0)
-
-    qs = jax.vmap(refine)(starts)                       # (S, 4)
-    costs = jax.vmap(cost_q)(qs)
-    best = jnp.argmin(costs)
-    qb = qs[best]
+    qb = multistart_refine_quat(cost_q, starts, gn_iters)
     R = rot.quaternion_to_rotation_matrix(qb)
     t_of_R, cost_of_R2 = upnp_cost_matrix(ray_origins, ray_dirs,
                                           world_points)
