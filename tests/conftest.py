@@ -23,27 +23,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-# Per-op CPU compiles are slow in this environment; cache them across runs.
-# The dir is keyed by a host-CPU fingerprint: entries AOT-compiled on a
-# previous machine with different CPU features segfault on load (the
-# runner host can change between sessions).
-import hashlib
-import platform
-
-
-def _host_fingerprint() -> str:
-    try:
-        with open("/proc/cpuinfo") as f:
-            flags = [ln for ln in f if ln.startswith("flags")][0]
-    except (OSError, IndexError):
-        flags = platform.processor()
-    return hashlib.sha1(flags.encode()).hexdigest()[:12]
-
-
-jax.config.update("jax_compilation_cache_dir",
-                  f"/tmp/jax_test_cache_{_host_fingerprint()}")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# NOTE: the persistent compilation cache (jax_compilation_cache_dir) is
+# deliberately NOT enabled: on this runner the XLA:CPU AOT loader
+# segfaults deserializing its own entries (spurious "+prefer-no-scatter
+# … not supported on the host machine" feature mismatch in
+# cpu_aot_loader), even for caches written by the same host/process.
+# Compile times are acceptable without it; do not re-enable unless the
+# jaxlib loader is fixed.
 
 assert len(jax.devices()) == 8, jax.devices()
 

@@ -66,6 +66,14 @@ class BAProblem(NamedTuple):
     pt_idx_valid: Optional[jnp.ndarray] = None   # (Np, Pmax) bool
     grp_idx_map: Optional[jnp.ndarray] = None    # (Ng, Gmax) int32
     grp_idx_valid: Optional[jnp.ndarray] = None  # (Ng, Gmax) bool
+    # Camera-sorted duplicate index arrays: observations are stored
+    # sorted by POINT (fast seg_pt); the camera-side reductions then
+    # scatter randomly. gather(perm) + sorted segment_sum replaces that
+    # scatter (pad_ba_problem builds these with sort_by_camera=True).
+    # NOTE: measured SLOWER than the scatter on v5e (0.79 vs 1.23 LM
+    # iters/s at Notre-Dame scale) — experimental knob, off by default.
+    cam_sort_perm: Optional[jnp.ndarray] = None   # (M,) int32
+    obs_cam_sorted: Optional[jnp.ndarray] = None  # (M,) int32
 
 
 @dataclasses.dataclass(frozen=True)
@@ -90,6 +98,12 @@ class BAOptions:
     # set when obs_pt is non-decreasing (pad_ba_problem sorts): lets XLA
     # lower the big point-block segment reductions without full scatter
     point_indices_sorted: bool = False
+    # store the per-observation jacobian blocks in bfloat16 INSIDE the
+    # CG matvec (f32 accumulation, f32 preconditioner/RHS/back-subst):
+    # the matvec is HBM-bound on jacobian traffic, so this ~halves the
+    # per-CG-iteration cost. The LM accept/reject loop guards against
+    # the (slightly) inexact operator.
+    matvec_bf16: bool = False
 
 
 class BASummary(NamedTuple):
@@ -110,10 +124,13 @@ def _residual_one(model_type, extr, intr, pt, pix):
     return jnp.where(bad, 0.0, r), bad
 
 
-def _all_jacobians(model_type, prob: BAProblem, weights):
+def _all_jacobians(model_type, prob: BAProblem, weights, r_raw=None):
     """Residuals and weighted per-observation jacobian blocks.
 
     Returns r (M, 2), Jc (M, 2, 6), Ji (M, 2, 10), Jp (M, 2, 3).
+    r_raw: precomputed unweighted residuals (avoids a duplicate
+    residual pass when the caller already evaluated them for the
+    robust-loss weights).
     """
     extr = prob.extrinsics[prob.obs_cam]
     intr = prob.intrinsics[prob.obs_group]
@@ -123,7 +140,8 @@ def _all_jacobians(model_type, prob: BAProblem, weights):
         r, bad = _residual_one(model_type, e, i, p, pix)
         return r
 
-    r = jax.vmap(f)(extr, intr, pts, prob.obs_pix)
+    r = jax.vmap(f)(extr, intr, pts, prob.obs_pix) if r_raw is None \
+        else r_raw
     # reverse mode: the residual is R^19 -> R^2, so 2 VJP passes beat
     # 19 JVP passes (measured ~3x faster LM fixed cost on TPU)
     Jc, Ji, Jp = jax.vmap(jax.jacrev(f, argnums=(0, 1, 2)))(
@@ -228,6 +246,11 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         def seg_cam(x):
             return _gather_reduce(x, prob.cam_idx_map,
                                   prob.cam_idx_valid)
+    elif prob.cam_sort_perm is not None:
+        def seg_cam(x):
+            return jax.ops.segment_sum(
+                x[prob.cam_sort_perm], prob.obs_cam_sorted,
+                num_segments=Nc, indices_are_sorted=True)
     else:
         def seg_cam(x):
             return jax.ops.segment_sum(x, prob.obs_cam, num_segments=Nc)
@@ -236,6 +259,11 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         def seg_grp(x):
             return _gather_reduce(x, prob.grp_idx_map,
                                   prob.grp_idx_valid)
+    elif Ng == 1:
+        # single shared intrinsics group (the common case): the
+        # segment reduction is a plain sum — no scatter at all
+        def seg_grp(x):
+            return jnp.sum(x, axis=0, keepdims=True)
     else:
         def seg_grp(x):
             return jax.ops.segment_sum(x, prob.obs_group,
@@ -258,18 +286,33 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         s = jnp.sum(r0 * r0, axis=-1)
         w = robust_weight(opts.loss, s, opts.loss_scale)
         w = jnp.where(obs_valid, w, 0.0)
-        r, Jc, Ji, Jp = _all_jacobians(opts.model_type, p, w)
+        r, Jc, Ji, Jp = _all_jacobians(opts.model_type, p, w, r_raw=r0)
         Jc, Ji, Jp = _apply_masks(prob, opts, Jc, Ji, Jp)
         return r, Jc, Ji, Jp
 
     def solve_normal_eqs(r, Jc, Ji, Jp, lam):
         """One damped Schur/PCG solve. Returns (dc, di, dp)."""
-        # --- block-diagonal pieces
+        if opts.matvec_bf16:
+            Jc_mv = Jc.astype(jnp.bfloat16)
+            Ji_mv = Ji.astype(jnp.bfloat16)
+            Jp_mv = Jp.astype(jnp.bfloat16)
+        else:
+            Jc_mv, Ji_mv, Jp_mv = Jc, Ji, Jp
+
+        def _ee(expr, a, b):
+            return jnp.einsum(expr, a, b,
+                              preferred_element_type=dtype)
+
+        # --- block-diagonal pieces. Hpp enters the REAL math (operator
+        # + back-substitution) — full precision; Hcc/Hgg only damp and
+        # precondition — matvec dtype with f32 accumulation.
         Hpp = seg_pt(jnp.einsum("mki,mkj->mij", Jp, Jp))  # (Np,3,3)
         Hpp_d = Hpp + lam * _diagonal_only(Hpp) + \
             1e-12 * jnp.eye(3, dtype=dtype)
         Hpp_inv = _inv3(Hpp_d)
 
+        # (bf16 inputs here measured slightly SLOWER — the casts break
+        # XLA's einsum+segment_sum fusion; keep f32)
         Hcc = seg_cam(jnp.einsum("mki,mkj->mij", Jc, Jc))  # (Nc,6,6)
         Hgg = seg_grp(jnp.einsum("mki,mkj->mij", Ji, Ji))  # (Ng,P,P)
 
@@ -285,17 +328,23 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         bc = -gc + seg_cam(jnp.einsum("mki,mk->mi", Jc, t))
         bg = -gg + seg_grp(jnp.einsum("mki,mk->mi", Ji, t))
 
-        # --- matrix-free S @ v
+        # --- matrix-free S @ v. The two camera-side (and group-side)
+        # reductions fuse algebraically: seg(J^T u) - seg(J^T u2)
+        # == seg(J^T (u - u2)) — one segment_sum each instead of two
+        # (the reductions are the HBM-bound part of the matvec).
         def S_matvec(vc, vg):
-            u = (jnp.einsum("mki,mi->mk", Jc, vc[prob.obs_cam]) +
-                 jnp.einsum("mki,mi->mk", Ji, vg[prob.obs_group]))  # (M,2)
-            yc = seg_cam(jnp.einsum("mki,mk->mi", Jc, u))
-            yg = seg_grp(jnp.einsum("mki,mk->mi", Ji, u))
-            wp = seg_pt(jnp.einsum("mki,mk->mi", Jp, u))   # (Np,3)
+            u = (_ee("mki,mi->mk", Jc_mv, vc[prob.obs_cam].astype(
+                     Jc_mv.dtype)) +
+                 _ee("mki,mi->mk", Ji_mv, vg[prob.obs_group].astype(
+                     Ji_mv.dtype)))                        # (M,2) f32
+            wp = seg_pt(_ee("mki,mk->mi", Jp_mv,
+                            u.astype(Jp_mv.dtype)))        # (Np,3)
             zp = jnp.einsum("nij,nj->ni", Hpp_inv, wp)
-            u2 = jnp.einsum("mkj,mj->mk", Jp, zp[prob.obs_pt])
-            yc = yc - seg_cam(jnp.einsum("mki,mk->mi", Jc, u2))
-            yg = yg - seg_grp(jnp.einsum("mki,mk->mi", Ji, u2))
+            u2 = _ee("mkj,mj->mk", Jp_mv,
+                     zp[prob.obs_pt].astype(Jp_mv.dtype))
+            d = (u - u2).astype(Jc_mv.dtype)
+            yc = seg_cam(_ee("mki,mk->mi", Jc_mv, d))
+            yg = seg_grp(_ee("mki,mk->mi", Ji_mv, d))
             # damping on the camera/group diagonal
             yc = yc + lam * jnp.einsum(
                 "nij,nj->ni", _diagonal_only(Hcc), vc)
@@ -307,16 +356,23 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         # cameras; group blocks approximate — both only precondition).
         # W = Hpc contribution of obs m (each (cam, pt) pair has at most
         # one observation, so the per-obs form is exact for cameras).
-        Hpp_inv_m = Hpp_inv[prob.obs_pt]                       # (M,3,3)
-        W = jnp.einsum("mki,mkj->mij", Jp, Jc)                 # (M,3,6)
-        HW = jnp.einsum("mij,mjk->mik", Hpp_inv_m, W)          # (M,3,6)
-        Scc_corr = seg_cam(jnp.einsum("mji,mjk->mik", W, HW))  # (Nc,6,6)
+        # the blocks only PREcondition, so assemble the big (M, ., .)
+        # temporaries in the matvec dtype (bf16 when enabled) with f32
+        # accumulation — the inverses stay full precision
+        Hpp_inv_m = Hpp_inv[prob.obs_pt].astype(Jc_mv.dtype)   # (M,3,3)
+        W = _ee("mki,mkj->mij", Jp_mv, Jc_mv)                  # (M,3,6)
+        HW = _ee("mij,mjk->mik", Hpp_inv_m,
+                 W.astype(Jc_mv.dtype))                        # (M,3,6)
+        Scc_corr = seg_cam(_ee("mji,mjk->mik", W.astype(Jc_mv.dtype),
+                               HW.astype(Jc_mv.dtype)))        # (Nc,6,6)
         Scc = Hcc + lam * _diagonal_only(Hcc) - Scc_corr + \
             1e-10 * jnp.eye(6, dtype=dtype)
         Pc_inv = jnp.linalg.inv(Scc)
-        Wg = jnp.einsum("mki,mkj->mij", Jp, Ji)                # (M,3,P)
-        HWg = jnp.einsum("mij,mjk->mik", Hpp_inv_m, Wg)        # (M,3,P)
-        Sgg_corr = seg_grp(jnp.einsum("mji,mjk->mik", Wg, HWg))
+        Wg = _ee("mki,mkj->mij", Jp_mv, Ji_mv)                 # (M,3,P)
+        HWg = _ee("mij,mjk->mik", Hpp_inv_m,
+                  Wg.astype(Jc_mv.dtype))                      # (M,3,P)
+        Sgg_corr = seg_grp(_ee("mji,mjk->mik", Wg.astype(Jc_mv.dtype),
+                               HWg.astype(Jc_mv.dtype)))
         Sgg = Hgg + lam * _diagonal_only(Hgg) - Sgg_corr + \
             1e-10 * jnp.eye(P, dtype=dtype)
         Pg_inv = jnp.linalg.inv(Sgg)
@@ -447,7 +503,8 @@ def _build_idx_map(indices: np.ndarray, num_segments: int,
 
 def pad_ba_problem(prob: BAProblem, minimum: int = 8,
                    sort_by_point: bool = True,
-                   build_reduction_maps: bool = False) -> BAProblem:
+                   build_reduction_maps: bool = False,
+                   sort_by_camera: bool = False) -> BAProblem:
     from ...utils import next_bucket
 
     if sort_by_point and prob.obs_pt.shape[0] > 0:
@@ -484,6 +541,14 @@ def pad_ba_problem(prob: BAProblem, minimum: int = 8,
     obs_pt_p = padrows(prob.obs_pt, Mb, Npb - 1)
 
     maps = {}
+    if sort_by_camera and M > 0 and not build_reduction_maps:
+        # duplicate index arrays for sorted camera-side segment_sums
+        # (padding obs carry obs_cam=0 and zeroed values — harmless)
+        perm = np.argsort(np.asarray(obs_cam_p), kind="stable")
+        maps.update(
+            cam_sort_perm=jnp.asarray(perm, jnp.int32),
+            obs_cam_sorted=jnp.asarray(np.asarray(obs_cam_p)[perm],
+                                       jnp.int32))
     if build_reduction_maps and M > 0:
         # scatter-free reduction maps (padding obs at index Mb-1 which is
         # masked whenever Mb > M; when Mb == M the targets are valid but

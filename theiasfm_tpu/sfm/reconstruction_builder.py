@@ -55,17 +55,24 @@ class ReconstructionBuilder:
         self.db = db or InMemoryFeaturesAndMatchesDatabase()
         self._image_paths: Dict[str, str] = {}
         self._priors: Dict[str, CameraIntrinsicsPrior] = {}
+        self._groups: Dict[str, int] = {}
         self._matcher = FeatureMatcher(options.matching, self.db)
 
     # -- images ---------------------------------------------------------
     def add_image(self, path: str,
-                  prior: Optional[CameraIntrinsicsPrior] = None):
-        """ref: ReconstructionBuilder::AddImage[WithCameraIntrinsicsPrior]."""
+                  prior: Optional[CameraIntrinsicsPrior] = None,
+                  group: Optional[int] = None):
+        """ref: ReconstructionBuilder::AddImage[WithCameraIntrinsicsPrior];
+        `group` = shared-intrinsics group id (ref
+        AddImageWithCameraIntrinsicsGroup) — views in the same group
+        share one intrinsics block in bundle adjustment."""
         name = os.path.basename(path)
         self._image_paths[name] = path
         if prior is not None:
             self._priors[name] = prior
             self.db.put_intrinsics_prior(name, prior)
+        if group is not None:
+            self._groups[name] = group
         self._matcher.add_image(name)
 
     def add_two_view_match(self, name1: str, name2: str, match):
@@ -124,8 +131,14 @@ class ReconstructionBuilder:
         names = sorted(set(self._image_paths.keys()) |
                        set(self.db.image_names_of_features()))
         name_to_vid = {}
+        # user-specified shared-intrinsics groups map to low group ids
+        user_groups = {g: i for i, g in
+                       enumerate(sorted(set(self._groups.values())))}
+        recon._next_group_id = len(user_groups)
         for name in names:
-            vid = recon.add_view(name)
+            g = self._groups.get(name)
+            vid = recon.add_view(
+                name, group=None if g is None else user_groups[g])
             name_to_vid[name] = vid
             view = recon.view(vid)
             prior = (self._priors.get(name) or
