@@ -48,3 +48,40 @@ def test_entry_compiles():
     fn, args = g.entry()
     cost = jax.jit(fn)(*args)
     assert np.isfinite(float(cost))
+
+
+class TestPointShardedBA:
+    def test_matches_single_device(self):
+        """Point-sharded BA over the 8-device mesh converges to the
+        same solution as the single-device solver."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from __graft_entry__ import _make_problem
+        from theiasfm_tpu.parallel import make_mesh
+        from theiasfm_tpu.parallel.point_sharded import (
+            point_sharded_bundle_adjust)
+        from theiasfm_tpu.sfm.ba import BAOptions, bundle_adjust
+
+        prob = _make_problem(n_cams=12, n_pts=400, obs_per_pt=4,
+                             dtype=jnp.float64)
+        opts = BAOptions(max_iterations=5, cg_iterations=20,
+                         loss="huber", loss_scale=2.0,
+                         function_tolerance=0.0,
+                         point_indices_sorted=True)
+        ref_out, ref_sum = bundle_adjust(prob, opts)
+
+        mesh = make_mesh(jax.devices()[:8])
+        out, summary = point_sharded_bundle_adjust(prob, opts, mesh)
+
+        assert np.isclose(float(summary.final_cost),
+                          float(ref_sum.final_cost), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(out.extrinsics),
+                                   np.asarray(ref_out.extrinsics),
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(out.points),
+                                   np.asarray(ref_out.points),
+                                   rtol=1e-5, atol=1e-7)

@@ -1,1 +1,3 @@
 from .mesh import make_mesh, shard_ba_problem, sharded_bundle_adjust  # noqa: F401
+from .point_sharded import (  # noqa: F401
+    partition_problem_by_point, point_sharded_bundle_adjust)

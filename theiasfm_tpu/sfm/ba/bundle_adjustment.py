@@ -104,6 +104,12 @@ class BAOptions:
     # per-CG-iteration cost. The LM accept/reject loop guards against
     # the (slightly) inexact operator.
     matvec_bf16: bool = False
+    # When set, bundle_adjust is running INSIDE shard_map over this
+    # mesh axis with observations+points device-local and
+    # cameras/groups replicated: camera/group reductions, CG dots, and
+    # costs are psum'ed over the axis; point-block math stays local
+    # (see parallel/point_sharded.py).
+    axis_name: Optional[str] = None
 
 
 class BASummary(NamedTuple):
@@ -276,6 +282,24 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
             x, prob.obs_pt, num_segments=Np,
             indices_are_sorted=opts.point_indices_sorted)
 
+    # Under shard_map (point-sharded multi-chip BA): camera/group state
+    # is replicated, so their reductions and every scalar reduction are
+    # completed with a psum over the mesh axis; point-block reductions
+    # stay device-local by construction.
+    if opts.axis_name is not None:
+        _psum = functools.partial(jax.lax.psum,
+                                  axis_name=opts.axis_name)
+        _seg_cam_local, _seg_grp_local = seg_cam, seg_grp
+
+        def seg_cam(x):
+            return _psum(_seg_cam_local(x))
+
+        def seg_grp(x):
+            return _psum(_seg_grp_local(x))
+    else:
+        def _psum(x):
+            return x
+
     def build_system(extr, intr, pts):
         p = prob._replace(extrinsics=extr, intrinsics=intr, points=pts)
         # raw residuals for robust weights
@@ -381,7 +405,8 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
             return (jnp.einsum("nij,nj->ni", Pc_inv, vc),
                     jnp.einsum("nij,nj->ni", Pg_inv, vg))
 
-        # --- PCG on the joint (cam, group) system
+        # --- PCG on the joint (cam, group) system (the vectors are
+        # replicated under shard_map — plain local dots, no psum)
         def dot(ac, ag, bc_, bg_):
             return jnp.sum(ac * bc_) + jnp.sum(ag * bg_)
 
@@ -429,7 +454,7 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
     # ----------------------------------------------------------------- LM
     def total_cost(extr, intr, pts):
         p = prob._replace(extrinsics=extr, intrinsics=intr, points=pts)
-        return ba_cost(p, opts)
+        return _psum(ba_cost(p, opts))
 
     cost0 = total_cost(prob.extrinsics, prob.intrinsics, prob.points)
 
