@@ -13,3 +13,7 @@ from .filters import (  # noqa: F401
 from .linear_estimators import (  # noqa: F401
     linear_rotation_averaging, nonlinear_rotation_averaging,
 )
+from .linear_position import (  # noqa: F401
+    LinearPositionOptions, compute_triplet_baseline_ratios,
+    estimate_positions_linear_triplet,
+)

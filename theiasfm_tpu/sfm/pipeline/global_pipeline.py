@@ -44,7 +44,9 @@ class GlobalOptions:
     filter_cycles_by_rotation: bool = True
     cycle_max_loop_error_degrees: float = 5.0
     rotation_filtering_max_difference_degrees: float = 5.0
-    position_estimator: str = "nonlinear"  # 'nonlinear' | 'lud'
+    # 'nonlinear' | 'lud' | 'linear_triplet'
+    # (ref: PositionEstimatorType{NONLINEAR, LUD, LINEAR_TRIPLET})
+    position_estimator: str = "nonlinear"
     refine_relative_translations: bool = True
     extract_maximal_rigid_subgraph: bool = False
     filter_relative_translations: bool = True
@@ -263,16 +265,30 @@ def global_reconstruction(recon: Reconstruction, graph: ViewGraph,
 
     # 7. positions
     stage_timer.reset()
-    est = (estimate_positions_lud if opts.position_estimator == "lud"
-           else estimate_positions_nonlinear)
-    positions = est(orientations, e_idx, rel_pos,
-                    edge_weights=weights / weights.max(),
-                    opts=opts.position)
+    pos_covered = np.ones(len(vids), dtype=bool)
+    if opts.position_estimator == "linear_triplet":
+        from ..global_pose.linear_position import (
+            estimate_positions_linear_triplet)
+        positions, pos_covered = estimate_positions_linear_triplet(
+            recon, vids, orientations, e_idx, rel_pos)
+        if not pos_covered.any():
+            return {"success": False,
+                    "reason": "no valid triplets for linear positions"}
+    else:
+        est = (estimate_positions_lud if opts.position_estimator == "lud"
+               else estimate_positions_nonlinear)
+        positions = est(orientations, e_idx, rel_pos,
+                        edge_weights=weights / weights.max(),
+                        opts=opts.position)
     timings["position_estimation_time"] = stage_timer.elapsed_seconds()
 
-    # write poses into the reconstruction
+    # write poses into the reconstruction (linear_triplet only covers
+    # views inside the triplet graph, ref
+    # linear_position_estimator.cc:209-218)
     for v in vids:
         i = vid_idx[v]
+        if not pos_covered[i]:
+            continue
         view = recon.views[v]
         view.camera.extrinsics = np.concatenate(
             [positions[i], orientations[i]])

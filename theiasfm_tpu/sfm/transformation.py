@@ -74,6 +74,47 @@ def align_reconstructions_robust(src_pos, dst_pos, n_trials: int = 200,
     return s, R, t
 
 
+def align_rotations(gt_rotations, rotations, iters: int = 20):
+    """Find the single rotation R* minimizing
+    sum_i || aa(R_i @ R*) - aa(gt_i) ||^2 and return the aligned
+    rotations (angle-axis, (N, 3)).
+
+    ref: src/theia/sfm/transformation/align_rotations.{h,cc} — the
+    reference runs Ceres autodiff LM over the 3-parameter alignment;
+    here it is a vmapped Gauss-Newton with jax.jacfwd on the identical
+    residual, seeded by the chordal-L2 closed form (SVD of
+    sum_i R_i^T gt_i).
+    """
+    import jax
+
+    gt = jnp.asarray(gt_rotations, jnp.float64)
+    aa = jnp.asarray(rotations, jnp.float64)
+    R_un = rot.angle_axis_to_rotation_matrix(aa)
+    R_gt = rot.angle_axis_to_rotation_matrix(gt)
+    # closed-form chordal seed: argmax_R sum tr((R_un_i R)^T R_gt_i)
+    M = jnp.einsum("nji,njk->ik", R_un, R_gt)
+    U, _, Vt = jnp.linalg.svd(M)
+    D = jnp.diag(jnp.asarray(
+        [1.0, 1.0, jnp.sign(jnp.linalg.det(U @ Vt))]))
+    x = rot.rotation_matrix_to_angle_axis(U @ D @ Vt)
+
+    def residuals(x):
+        R_align = rot.angle_axis_to_rotation_matrix(x)
+        aligned = jnp.einsum("nij,jk->nik", R_un, R_align)
+        return (rot.rotation_matrix_to_angle_axis(aligned) - gt).reshape(-1)
+
+    def gn(_, x):
+        r = residuals(x)
+        J = jax.jacfwd(residuals)(x)
+        H = J.T @ J + 1e-12 * jnp.eye(3)
+        return x - jnp.linalg.solve(H, J.T @ r)
+
+    x = jax.lax.fori_loop(0, iters, gn, x)
+    R_align = rot.angle_axis_to_rotation_matrix(x)
+    aligned = jnp.einsum("nij,jk->nik", R_un, R_align)
+    return np.asarray(rot.rotation_matrix_to_angle_axis(aligned))
+
+
 def transform_reconstruction(recon, s: float, R: np.ndarray,
                              t: np.ndarray):
     """Apply dst = s R src + t to all cameras and points in place.
