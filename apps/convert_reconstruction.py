@@ -25,14 +25,16 @@ def main():
                    help="lists.txt (bundler input only)")
     p.add_argument("--output", required=True)
     p.add_argument("--output_format", required=True,
-                   choices=["native", "nvm", "colmap", "ply", "bundler"])
+                   choices=["native", "nvm", "colmap", "ply", "bundler",
+                            "theia"])
     args = p.parse_args()
 
     from theiasfm_tpu.io import (read_bundler, read_nvm,
                                  read_reconstruction,
                                  read_theia_reconstruction,
                                  write_bundler, write_colmap, write_nvm,
-                                 write_ply, write_reconstruction)
+                                 write_ply, write_reconstruction,
+                                 write_theia_reconstruction)
 
     if args.input.endswith(".npz"):
         recon = read_reconstruction(args.input)
@@ -56,6 +58,8 @@ def main():
         write_ply(recon, args.output)
     elif args.output_format == "bundler":
         write_bundler(recon, args.output + ".list.txt", args.output)
+    elif args.output_format == "theia":
+        write_theia_reconstruction(args.output, recon)
     print(f"wrote {args.output_format}: {args.output}")
     return 0
 

@@ -56,6 +56,33 @@ def test_theia_binary_fixture():
     assert f11.num_views() == 11 and f11.num_tracks() == 16616
 
 
+def test_theia_binary_writer_round_trip(tmp_path):
+    """write_theia_reconstruction emits cereal PortableBinary that
+    parses back identically (ref: reconstruction_writer.cc:53-66)."""
+    from theiasfm_tpu.io import write_theia_reconstruction
+    r = read_theia_reconstruction(
+        "/root/reference/data/sfm/fountain11.bin")
+    path = str(tmp_path / "rt.bin")
+    write_theia_reconstruction(path, r)
+    r2 = read_theia_reconstruction(path)
+    assert r.num_views() == r2.num_views()
+    assert r.num_tracks() == r2.num_tracks()
+    for vid in r.views:
+        v1, v2 = r.views[vid], r2.views[vid]
+        assert v1.name == v2.name
+        assert v1.is_estimated == v2.is_estimated
+        assert v1.camera.model_type == v2.camera.model_type
+        np.testing.assert_allclose(v1.camera.extrinsics,
+                                   v2.camera.extrinsics)
+        np.testing.assert_allclose(v1.camera.intrinsics,
+                                   v2.camera.intrinsics)
+        assert set(v1.features) == set(v2.features)
+    for tid in r.tracks:
+        np.testing.assert_allclose(r.tracks[tid].point,
+                                   r2.tracks[tid].point)
+        assert r.tracks[tid].views == r2.tracks[tid].views
+
+
 def test_calibration_fixture():
     priors = read_calibration(
         "/root/reference/data/io/calibration_test.json")

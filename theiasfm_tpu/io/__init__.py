@@ -1,4 +1,6 @@
-from .theia_format import read_theia_reconstruction  # noqa: F401
+from .theia_format import (  # noqa: F401
+    read_theia_reconstruction, write_theia_reconstruction,
+)
 from .native_format import (  # noqa: F401
     read_reconstruction, write_reconstruction,
 )

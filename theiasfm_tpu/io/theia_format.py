@@ -332,3 +332,196 @@ def read_theia_reconstruction(path: str) -> Reconstruction:
                 recon.add_observation(id_remap[vid], tid_remap[tid],
                                      feat)
     return recon
+
+
+# ---------------------------------------------------------------------------
+# writer (the inverse of the parser above; ref:
+# io/reconstruction_writer.cc:53-66 uses cereal
+# PortableBinaryOutputArchive with the same serialize() declarations)
+
+
+_MODEL_TO_POLY_NAME = {m: n for n, (m, _) in _POLY_NAME_TO_MODEL.items()}
+_MODEL_NPARAMS = {m: k for _, (m, k) in _POLY_NAME_TO_MODEL.items()}
+
+
+class _Writer:
+    def __init__(self):
+        self.buf = bytearray()
+        self._versions: Dict[str, int] = {}
+        self._poly_ids: Dict[str, int] = {}
+        self._next_ptr_id = 0
+
+    def raw(self, b: bytes):
+        self.buf += b
+
+    def u8(self, v):
+        self.buf += struct.pack("<B", v)
+
+    def u32(self, v):
+        self.buf += struct.pack("<I", v)
+
+    def i32(self, v):
+        self.buf += struct.pack("<i", v)
+
+    def u64(self, v):
+        self.buf += struct.pack("<Q", v)
+
+    def f64(self, vals):
+        self.buf += np.asarray(vals, "<f8").tobytes()
+
+    def boolean(self, v):
+        self.u8(1 if v else 0)
+
+    def string(self, s: str):
+        b = s.encode()
+        self.u64(len(b))
+        self.raw(b)
+
+    def version(self, type_key: str, ver: int):
+        """cereal writes the class version u32 once, at the first
+        occurrence of each versioned type per archive."""
+        if type_key not in self._versions:
+            self._versions[type_key] = ver
+            self.u32(ver)
+
+    def eigen(self, m, dtype="<f8"):
+        arr = np.asarray(m, dtype)
+        if arr.ndim == 1:
+            arr = arr.reshape(-1, 1)
+        self.i32(arr.shape[0])
+        self.i32(arr.shape[1])
+        self.raw(arr.T.tobytes())  # column-major
+
+
+def _write_prior(w: _Writer, n: int, is_set: bool, values):
+    w.version(f"Prior<{n}>", 0)
+    w.boolean(is_set)
+    vals = np.zeros(n)
+    if values is not None:
+        v = np.atleast_1d(np.asarray(values, float))
+        vals[:min(n, len(v))] = v[:n]
+    w.f64(vals)
+
+
+def _write_intrinsics_prior(w: _Writer, p: CameraIntrinsicsPrior):
+    w.version("CameraIntrinsicsPrior", 4)
+    w.i32(p.image_width or 0)
+    w.i32(p.image_height or 0)
+    w.string(p.camera_intrinsics_model_type.name)
+    _write_prior(w, 1, p.focal_length is not None, p.focal_length)
+    _write_prior(w, 2, p.principal_point is not None, p.principal_point)
+    _write_prior(w, 1, p.aspect_ratio is not None, p.aspect_ratio)
+    _write_prior(w, 1, p.skew is not None, p.skew)
+    _write_prior(w, 4, p.radial_distortion is not None,
+                 p.radial_distortion)
+    _write_prior(w, 2, p.tangential_distortion is not None,
+                 p.tangential_distortion)
+    _write_prior(w, 3, p.position is not None, p.position)
+    _write_prior(w, 3, p.orientation is not None, p.orientation)
+    _write_prior(w, 1, False, None)  # latitude
+    _write_prior(w, 1, False, None)  # longitude
+    _write_prior(w, 1, False, None)  # altitude
+
+
+def _write_camera(w: _Writer, camera, group_ptr_key,
+                  group_first: Dict[int, int]):
+    """Camera v1: extrinsics binary + polymorphic intrinsics shared_ptr
+    + image size. Views sharing an intrinsics group emit cereal
+    back-references so the reference reconstructs genuinely shared
+    intrinsics objects."""
+    w.version("Camera", 1)
+    w.f64(np.asarray(camera.extrinsics, float)[:6])
+    name = _MODEL_TO_POLY_NAME[camera.model_type]
+    if name not in w._poly_ids:
+        w._poly_ids[name] = len(w._poly_ids) + 1
+        w.u32(w._poly_ids[name] | 0x80000000)
+        w.string(name)
+    else:
+        w.u32(w._poly_ids[name])
+    if group_ptr_key in group_first:
+        w.u32(group_first[group_ptr_key])  # back-reference, no payload
+    else:
+        w._next_ptr_id += 1
+        group_first[group_ptr_key] = w._next_ptr_id
+        w.u32(w._next_ptr_id | 0x80000000)
+        w.version(name, 1 if name == "theia::PinholeCameraModel" else 0)
+        w.version("CameraIntrinsicsModel", 0)
+        nparams = _MODEL_NPARAMS[camera.model_type]
+        w.u64(nparams)
+        w.f64(np.asarray(camera.intrinsics, float)[:nparams])
+    w.i32(camera.image_width or 0)
+    w.i32(camera.image_height or 0)
+
+
+def write_theia_reconstruction(path: str, recon: Reconstruction):
+    """Serialize our Reconstruction as a Theia-readable cereal
+    PortableBinary .bin file (round-trips through
+    read_theia_reconstruction and through the reference's
+    ReadReconstruction)."""
+    w = _Writer()
+    w.u8(1)  # little-endian marker (PortableBinaryOutputArchive)
+    w.version("Reconstruction", 0)
+    vids = sorted(recon.views.keys())
+    tids = sorted(recon.tracks.keys())
+    w.u32((max(tids) + 1) if tids else 0)   # next_track_id
+    w.u32((max(vids) + 1) if vids else 0)   # next_view_id
+
+    w.u64(len(vids))
+    for vid in vids:
+        w.string(recon.views[vid].name)
+        w.u32(vid)
+
+    group_of = getattr(recon, "view_groups", None) or {}
+    group_first: Dict[int, int] = {}
+    w.u64(len(vids))
+    for vid in vids:
+        view = recon.views[vid]
+        w.u32(vid)
+        w.version("View", 0)
+        w.string(view.name)
+        w.boolean(view.is_estimated)
+        gkey = group_of.get(vid, ("solo", vid))
+        _write_camera(w, view.camera, gkey, group_first)
+        _write_intrinsics_prior(w, view.prior)
+        feats = view.features
+        w.u64(len(feats))
+        for tid in sorted(feats.keys()):
+            w.u32(tid)
+            w.eigen(np.asarray(feats[tid], float)[:2])
+
+    w.u64(len(tids))
+    for tid in tids:
+        tr = recon.tracks[tid]
+        w.u32(tid)
+        w.version("Track", 0)
+        w.boolean(tr.is_estimated)
+        tviews = sorted(tr.views)
+        w.u64(len(tviews))
+        for v in tviews:
+            w.u32(v)
+        w.eigen(np.asarray(tr.point, float)[:4])
+        w.eigen(np.asarray(tr.color, np.uint8)[:3], dtype="<u1")
+
+    # view -> intrinsics-group map and group -> views map
+    gid_of = {}
+    groups: Dict[int, list] = {}
+    next_gid = 0
+    for vid in vids:
+        gkey = group_of.get(vid, ("solo", vid))
+        if gkey not in gid_of:
+            gid_of[gkey] = next_gid
+            next_gid += 1
+        groups.setdefault(gid_of[gkey], []).append(vid)
+    w.u64(len(vids))
+    for vid in vids:
+        w.u32(vid)
+        w.u32(gid_of[group_of.get(vid, ("solo", vid))])
+    w.u64(len(groups))
+    for gid in sorted(groups.keys()):
+        w.u32(gid)
+        w.u64(len(groups[gid]))
+        for v in sorted(groups[gid]):
+            w.u32(v)
+
+    with open(path, "wb") as f:
+        f.write(bytes(w.buf))
