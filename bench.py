@@ -25,19 +25,21 @@ def main():
 
     from __graft_entry__ import _make_problem
     from theiasfm_tpu.sfm.ba import BAOptions, bundle_adjust
-    from theiasfm_tpu.sfm.ba.bundle_adjustment import pad_ba_problem
+    from theiasfm_tpu.sfm.ba.bundle_adjustment import add_point_obs_map
 
     prob = _make_problem(n_cams=550, n_pts=140_000, obs_per_pt=4,
                          dtype=jnp.float32)
+    prob = add_point_obs_map(prob)
 
     n_iters = 10
-    opts = BAOptions(max_iterations=n_iters, cg_iterations=25,
+    # DENSE_SCHUR: explicit reduced camera system + Cholesky (exact
+    # solve, the right choice at <~2000 cameras; 2.96 vs 2.15 LM
+    # iters/s over the matrix-free PCG path on v5e at this scale)
+    opts = BAOptions(max_iterations=n_iters,
                      loss="huber", loss_scale=2.0,
                      function_tolerance=0.0,
                      point_indices_sorted=True,  # _make_problem sorts
-                     # bf16 jacobians inside the CG matvec: +17% on v5e,
-                     # bit-identical final cost on this problem
-                     matvec_bf16=True)
+                     linear_solver="dense_schur")
 
     run = jax.jit(lambda p: bundle_adjust(p, opts))
     # warmup/compile

@@ -183,3 +183,34 @@ def test_bucketed_matches_direct(rng):
     # slightly even though both fit exactly
     np.testing.assert_allclose(np.asarray(out_bucket.points),
                                np.asarray(out_direct.points), atol=1e-3)
+
+
+def test_dense_schur_matches_pcg(rng):
+    """linear_solver='dense_schur' (explicit reduced camera system +
+    Cholesky, ref Ceres DENSE_SCHUR) must match the matrix-free PCG
+    solver and converge at least as well (it is exact)."""
+    from theiasfm_tpu.sfm.ba.bundle_adjustment import add_point_obs_map
+    gt = make_ba_problem(rng, n_cams=7, n_pts=90, n_groups=2)
+    noisy = perturb(gt, rng)
+    noisy = add_point_obs_map(noisy)
+    base = dict(max_iterations=12, function_tolerance=0.0,
+                optimize_intrinsics=(True,) + (False,) * 9)
+    out_pcg, s_pcg = bundle_adjust(
+        noisy, BAOptions(cg_iterations=200, cg_tol=1e-12, **base))
+    out_den, s_den = bundle_adjust(
+        noisy, BAOptions(linear_solver="dense_schur", **base))
+    assert float(s_den.final_cost) <= 1.05 * float(s_pcg.final_cost) + 1e-12
+    np.testing.assert_allclose(np.asarray(out_den.extrinsics),
+                               np.asarray(out_pcg.extrinsics), atol=1e-4)
+
+
+def test_dense_schur_jit_and_padded(rng):
+    from theiasfm_tpu.sfm.ba.bundle_adjustment import pad_ba_problem
+    gt = make_ba_problem(rng, n_cams=5, n_pts=60)
+    noisy = perturb(gt, rng)
+    padded = pad_ba_problem(noisy, build_point_obs_map=True)
+    opts = BAOptions(max_iterations=10, linear_solver="dense_schur",
+                     point_indices_sorted=True, function_tolerance=0.0)
+    run = jax.jit(lambda p: bundle_adjust(p, opts))
+    out, summary = run(padded)
+    assert float(summary.final_cost) < 1e-6 * float(summary.initial_cost)

@@ -98,6 +98,18 @@ class BAOptions:
     # set when obs_pt is non-decreasing (pad_ba_problem sorts): lets XLA
     # lower the big point-block segment reductions without full scatter
     point_indices_sorted: bool = False
+    # "pcg"  — matrix-free Schur + PCG (ref ITERATIVE_SCHUR; scales to
+    #          any camera count, the multi-chip path)
+    # "dense_schur" — materialize the reduced camera system S
+    #          ((6Nc+P*Ng)^2) from per-point observation-pair blocks and
+    #          factorize it (ref DENSE_SCHUR). Exact solve, no CG loop,
+    #          no preconditioner assembly; the right choice up to a few
+    #          thousand cameras (S for 2k cams is 12k^2 = 0.6GB f32 —
+    #          fine in HBM; Cholesky of 12k is ~0.6 TFLOP, trivial on
+    #          the MXU). Requires prob.pt_idx_map/pt_idx_valid (a
+    #          (Np, Kmax) per-point observation table, see
+    #          add_point_obs_map / pad_ba_problem).
+    linear_solver: str = "pcg"
     # store the per-observation jacobian blocks in bfloat16 INSIDE the
     # CG matvec (f32 accumulation, f32 preconditioner/RHS/back-subst):
     # the matvec is HBM-bound on jacobian traffic, so this ~halves the
@@ -352,6 +364,16 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         bc = -gc + seg_cam(jnp.einsum("mki,mk->mi", Jc, t))
         bg = -gg + seg_grp(jnp.einsum("mki,mk->mi", Ji, t))
 
+        if opts.linear_solver == "dense_schur":
+            dc, dg = _dense_schur_solve(
+                prob, opts, Jc, Ji, Jp, Hpp_inv, Hcc, Hgg, bc, bg, lam,
+                _psum)
+            u = (jnp.einsum("mki,mi->mk", Jc, dc[prob.obs_cam]) +
+                 jnp.einsum("mki,mi->mk", Ji, dg[prob.obs_group]))
+            hp = seg_pt(jnp.einsum("mki,mk->mi", Jp, u))
+            dp = jnp.einsum("nij,nj->ni", Hpp_inv, -gp - hp)
+            return dc, dg, dp
+
         # --- matrix-free S @ v. The two camera-side (and group-side)
         # reductions fuse algebraically: seg(J^T u) - seg(J^T u2)
         # == seg(J^T (u - u2)) — one segment_sum each instead of two
@@ -499,6 +521,167 @@ def _diagonal_only(A):
     return A * jnp.eye(K, dtype=A.dtype)
 
 
+def _dense_schur_solve(prob: BAProblem, opts: BAOptions, Jc, Ji, Jp,
+                       Hpp_inv, Hcc, Hgg, bc, bg, lam, _psum):
+    """Materialize the reduced camera system and factorize it.
+
+    S = [Hcc  Hcg] - [Hcp] Hpp^-1 [Hpc Hpg],  solve S [dc; dg] = [bc; bg]
+        [Hgc  Hgg]   [Hgp]
+
+    ref DENSE_SCHUR (Ceres linear_solver_type; bundle_adjustment.h:85-87
+    recommends the iterative solver only beyond ~1000 cameras). The
+    correction blocks couple cameras that observe a COMMON point, so
+    they are assembled per point from the (Np, Kmax) observation table
+    `pt_idx_map`: for point n with observations k, l the pair block is
+    U_k Hpp_inv U_l^T with U = Jc^T Jp (6x3). The per-pair blocks are
+    reduced with one segment_sum keyed on the flattened (cam_k, cam_l)
+    pair index — scatter once per LM iteration instead of per CG
+    iteration, and the whole solve then rides the MXU (Cholesky).
+
+    Padded table slots carry valid=False and their U rows are zeroed, so
+    they contribute nothing wherever their pair index lands.
+
+    Under shard_map (axis_name set) points are device-local: the
+    assembled blocks are psum'ed, then every device runs the same
+    replicated factorization.
+    """
+    if prob.pt_idx_map is None:
+        raise ValueError(
+            "linear_solver='dense_schur' requires pt_idx_map — build "
+            "the problem with add_point_obs_map/pad_ba_problem("
+            "build_point_obs_map=True)")
+    Nc = prob.extrinsics.shape[0]
+    Ng, P = prob.intrinsics.shape
+    dtype = prob.points.dtype
+
+    idx = prob.pt_idx_map                                  # (Np, K)
+    K = idx.shape[1]
+
+    # per-obs camera-point and group-point coupling blocks
+    U = jnp.einsum("mka,mkb->mab", Jc, Jp)                 # (M,6,3)
+    Ug = jnp.einsum("mka,mkb->mab", Ji, Jp)                # (M,P,3)
+
+    # The per-point pair blocks are assembled in CHUNKS of points under
+    # a fori_loop: an unchunked (Np, K, K, 6, 6) temporary would be
+    # tile-padded 28x by XLA ((6,6) minor dims -> (8,128)) — 8.5GB at
+    # Notre-Dame scale. Per-chunk temporaries stay ~100-500MB.
+    CH = min(4096, idx.shape[0])
+    nch = -(-idx.shape[0] // CH)
+    pad_n = nch * CH - idx.shape[0]
+
+    def padn(x, fill=0):
+        return jnp.pad(x, [(0, pad_n)] + [(0, 0)] * (x.ndim - 1),
+                       constant_values=fill) if pad_n else x
+
+    idx_p = padn(idx)
+    val_p = padn(prob.pt_idx_valid).astype(dtype)
+    Hppi_p = padn(Hpp_inv)
+    camn_p = prob.obs_cam[idx_p]                           # (Np',K)
+    grpn_p = prob.obs_group[idx_p]
+
+    acc0 = (jnp.zeros((Nc * Nc, 36), dtype),
+            jnp.zeros((Nc * Ng, 6 * P), dtype),
+            jnp.zeros((Ng * Ng, P * P), dtype))
+
+    def chunk_body(i, acc):
+        a_cc, a_cg, a_gg = acc
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, i * CH, CH)
+        ic, vc = sl(idx_p), sl(val_p)
+        camc, grpc = sl(camn_p), sl(grpn_p)
+        Uc = U[ic] * vc[..., None, None]                   # (CH,K,6,3)
+        Ugc = Ug[ic] * vc[..., None, None]                 # (CH,K,P,3)
+        Hi = sl(Hppi_p)                                    # (CH,3,3)
+        T = jnp.einsum("nkab,nbc->nkac", Uc, Hi)           # (CH,K,6,3)
+        Bcc = jnp.einsum("nkac,nlbc->nklab", T, Uc,
+                         preferred_element_type=dtype)     # (CH,K,K,6,6)
+        pid = (camc[:, :, None] * Nc + camc[:, None, :]).reshape(-1)
+        a_cc = a_cc + jax.ops.segment_sum(
+            Bcc.reshape(-1, 36), pid, num_segments=Nc * Nc)
+        Tg = jnp.einsum("nkab,nbc->nkac", Ugc, Hi)         # (CH,K,P,3)
+        if Ng == 1:
+            # single shared group (the common case): collapse the group
+            # observation axis inside the einsums
+            Bcg = jnp.einsum("nkac,nlbc->nkab", T, Ugc,
+                             preferred_element_type=dtype)  # (CH,K,6,P)
+            a_cg = a_cg + jax.ops.segment_sum(
+                Bcg.reshape(-1, 6 * P), camc.reshape(-1),
+                num_segments=Nc)
+            a_gg = a_gg + jnp.einsum(
+                "nkac,nlbc->ab", Tg, Ugc,
+                preferred_element_type=dtype).reshape(1, P * P)
+        else:
+            Bcg = jnp.einsum("nkac,nlbc->nklab", T, Ugc,
+                             preferred_element_type=dtype)
+            pid_cg = (camc[:, :, None] * Ng +
+                      grpc[:, None, :]).reshape(-1)
+            a_cg = a_cg + jax.ops.segment_sum(
+                Bcg.reshape(-1, 6 * P), pid_cg, num_segments=Nc * Ng)
+            Bgg = jnp.einsum("nkac,nlbc->nklab", Tg, Ugc,
+                             preferred_element_type=dtype)
+            pid_gg = (grpc[:, :, None] * Ng +
+                      grpc[:, None, :]).reshape(-1)
+            a_gg = a_gg + jax.ops.segment_sum(
+                Bgg.reshape(-1, P * P), pid_gg, num_segments=Ng * Ng)
+        return a_cc, a_cg, a_gg
+
+    acc = jax.lax.fori_loop(0, nch, chunk_body, acc0)
+    corr_cc = _psum(acc[0]).reshape(Nc, Nc, 6, 6)
+    corr_cg = _psum(acc[1]).reshape(Nc, Ng, 6, P)
+    corr_gg = _psum(acc[2]).reshape(Ng, Ng, P, P)
+
+    Hcg = _psum(jax.ops.segment_sum(
+        jnp.einsum("mka,mkb->mab", Jc, Ji),
+        prob.obs_cam * Ng + prob.obs_group,
+        num_segments=Nc * Ng).reshape(Nc, Ng, 6, P))
+
+    # assemble the dense system (6Nc+P*Ng square)
+    Acc = -corr_cc
+    diag_c = Hcc + lam * _diagonal_only(Hcc)
+    Acc = Acc.at[jnp.arange(Nc), jnp.arange(Nc)].add(diag_c)
+    Agg = -corr_gg
+    diag_g = Hgg + lam * _diagonal_only(Hgg)
+    Agg = Agg.at[jnp.arange(Ng), jnp.arange(Ng)].add(diag_g)
+    Acg = Hcg - corr_cg
+
+    Dc, Dg = 6 * Nc, P * Ng
+    top = jnp.concatenate([
+        Acc.transpose(0, 2, 1, 3).reshape(Dc, Dc),
+        Acg.transpose(0, 2, 1, 3).reshape(Dc, Dg)], axis=1)
+    bot = jnp.concatenate([
+        Acg.transpose(1, 3, 0, 2).reshape(Dg, Dc),
+        Agg.transpose(0, 2, 1, 3).reshape(Dg, Dg)], axis=1)
+    A = jnp.concatenate([top, bot], axis=0)
+    b = jnp.concatenate([bc.reshape(-1), bg.reshape(-1)])
+
+    # masked cameras / non-optimized intrinsics slots / padding have
+    # all-zero rows: pin them to identity so the factorization is
+    # well-posed (their rhs is zero -> zero step).
+    d = jnp.diagonal(A)
+    fix = (jnp.abs(d) < 1e-12).astype(dtype)
+    A = A + jnp.diag(fix)
+
+    L, lower = jax.scipy.linalg.cho_factor(A, lower=True)
+    x = jax.scipy.linalg.cho_solve((L, lower), b)
+    # a failed factorization yields NaNs -> the LM accept/reject loop
+    # rejects the step and raises lambda (same recovery as Ceres).
+    dc = x[:Dc].reshape(Nc, 6)
+    dg = x[Dc:].reshape(Ng, P)
+    return dc, dg
+
+
+def add_point_obs_map(prob: BAProblem, bucket_min: int = 4) -> BAProblem:
+    """Attach the (Np, Kmax) per-point observation table required by
+    linear_solver='dense_schur' (host-side; call before jit)."""
+    Np = prob.points.shape[0]
+    M = prob.obs_pt.shape[0]
+    idx_map, valid = _build_idx_map(np.asarray(prob.obs_pt), Np,
+                                    M - 1, bucket_min=bucket_min)
+    # padding slots must not contribute even though they index a real
+    # observation: valid=False zeroes their blocks.
+    return prob._replace(pt_idx_map=jnp.asarray(idx_map),
+                         pt_idx_valid=jnp.asarray(valid))
+
+
 # --------------------------------------------------------------------------
 # Bucketed execution: pad every axis to power-of-two buckets so repeated
 # solves with ragged sizes (incremental pipeline grows by one camera at a
@@ -529,7 +712,8 @@ def _build_idx_map(indices: np.ndarray, num_segments: int,
 def pad_ba_problem(prob: BAProblem, minimum: int = 8,
                    sort_by_point: bool = True,
                    build_reduction_maps: bool = False,
-                   sort_by_camera: bool = False) -> BAProblem:
+                   sort_by_camera: bool = False,
+                   build_point_obs_map: bool = False) -> BAProblem:
     from ...utils import next_bucket
 
     if sort_by_point and prob.obs_pt.shape[0] > 0:
@@ -586,7 +770,7 @@ def pad_ba_problem(prob: BAProblem, minimum: int = 8,
             grp_idx_map=jnp.asarray(gm_), grp_idx_valid=jnp.asarray(gv_),
         )
 
-    return BAProblem(
+    out = BAProblem(
         extrinsics=padrows(prob.extrinsics, Ncb),
         intrinsics=intr,
         points=points,
@@ -599,6 +783,9 @@ def pad_ba_problem(prob: BAProblem, minimum: int = 8,
         point_mask=padrows(point_mask, Npb, False),
         **maps,
     )
+    if build_point_obs_map:
+        out = add_point_obs_map(out)
+    return out
 
 
 @functools.lru_cache(maxsize=None)
