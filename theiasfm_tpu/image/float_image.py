@@ -43,3 +43,10 @@ class FloatImage:
 
 def load_gray(path: str) -> np.ndarray:
     return FloatImage.from_file(path).grayscale()
+
+
+def image_size_from_file(path: str) -> tuple:
+    """(width, height) without decoding pixel data (header read only)."""
+    from PIL import Image
+    with Image.open(path) as img:
+        return img.size

@@ -15,3 +15,4 @@ from .sift_key import (  # noqa: F401
     read_sift_binary, read_sift_text, write_sift_binary, write_sift_text,
 )
 from .pmvs import export_pmvs  # noqa: F401
+from .populate_image_sizes import populate_image_sizes  # noqa: F401

@@ -1,2 +1,3 @@
 from .padding import pad_to, next_bucket  # noqa: F401
 from .timer import Timer  # noqa: F401
+from .mutable_priority_queue import MutablePriorityQueue  # noqa: F401
