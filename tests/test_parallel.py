@@ -85,3 +85,38 @@ class TestPointShardedBA:
         np.testing.assert_allclose(np.asarray(out.points),
                                    np.asarray(ref_out.points),
                                    rtol=1e-5, atol=1e-7)
+
+
+    def test_hierarchical_dcn_ici_mesh(self):
+        """Multi-host layout: a 2D ('dcn', 'ici') mesh (2 hosts x 4
+        chips here, virtualized on CPU). Points shard over the product
+        axis; camera/cost psums reduce hierarchically. Must match the
+        single-device result."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from __graft_entry__ import _make_problem
+        from theiasfm_tpu.parallel.point_sharded import (
+            point_sharded_bundle_adjust)
+        from theiasfm_tpu.sfm.ba import BAOptions, bundle_adjust
+
+        prob = _make_problem(n_cams=10, n_pts=320, obs_per_pt=4,
+                             dtype=jnp.float64)
+        opts = BAOptions(max_iterations=4, cg_iterations=20,
+                         loss="huber", loss_scale=2.0,
+                         function_tolerance=0.0,
+                         point_indices_sorted=True)
+        ref_out, ref_sum = bundle_adjust(prob, opts)
+
+        devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+        mesh = Mesh(devs, ("dcn", "ici"))
+        out, summary = point_sharded_bundle_adjust(
+            prob, opts, mesh, axis_name=("dcn", "ici"))
+
+        assert np.isclose(float(summary.final_cost),
+                          float(ref_sum.final_cost), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(out.extrinsics),
+                                   np.asarray(ref_out.extrinsics),
+                                   rtol=1e-5, atol=1e-7)

@@ -108,12 +108,20 @@ def partition_problem_by_point(prob: BAProblem, n_dev: int):
 
 def point_sharded_bundle_adjust(
         prob: BAProblem, opts: BAOptions, mesh: Mesh,
-        axis_name: str = "obs") -> Tuple[BAProblem, BASummary]:
+        axis_name="obs") -> Tuple[BAProblem, BASummary]:
     """Bundle adjust with points+observations sharded over `mesh`.
 
     prob must be point-sorted (pad_ba_problem(sort_by_point=True) or
     natural track order). Cameras/intrinsics are replicated; the
     returned problem has the same global layout as the input.
+
+    Multi-host: pass a 2D mesh (e.g. axes ('dcn', 'ici') with hosts on
+    the slow DCN axis) and axis_name=('dcn', 'ici') — points shard over
+    the product and the camera/cost psums become hierarchical (XLA
+    reduces over ICI within a host-slice first, then once over DCN;
+    per-matvec traffic stays O(Nc*36 + Ng*P^2) independent of scene
+    size, which is what makes Piccadilly/Trafalgar-class scenes
+    [SURVEY.md §6] viable across hosts).
     """
     n_dev = mesh.devices.size
     shards, meta = partition_problem_by_point(prob, n_dev)
