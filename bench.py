@@ -42,15 +42,17 @@ def main():
                      linear_solver="dense_schur")
 
     run = jax.jit(lambda p: bundle_adjust(p, opts))
-    # warmup/compile
+    # warmup/compile (float() = explicit host readback: on tunneled
+    # TPU runners block_until_ready can return before the computation
+    # really finishes for some op types; a readback cannot)
     out, summary = run(prob)
-    jax.block_until_ready(summary.final_cost)
+    float(summary.final_cost)
 
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
         out, summary = run(prob)
-        jax.block_until_ready(summary.final_cost)
+        float(summary.final_cost)
     dt = (time.perf_counter() - t0) / reps
 
     iters = int(summary.num_iterations)

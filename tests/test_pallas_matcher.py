@@ -36,3 +36,28 @@ def test_pallas_matcher_mask2(rng):
     idx = np.asarray(idx)
     # with the duplicate half masked, each row matches its own copy
     assert (idx == np.arange(64)).all()
+
+
+def test_pallas_batched_matches_reference(rng):
+    from theiasfm_tpu.matching.pallas_matcher import (
+        match_descriptors_pallas_batch)
+    B, N, D = 3, 200, 128
+    d1 = rng.normal(size=(B, N, D)).astype(np.float32)
+    d2 = np.stack([d1[b][rng.permutation(N)] for b in range(B)])
+    d2 += 0.01 * rng.normal(size=d2.shape).astype(np.float32)
+    m1 = np.ones((B, N), bool)
+    m2 = np.ones((B, N), bool)
+    m2[1, 150:] = False  # ragged pair
+    idx_b, valid_b, best_b = match_descriptors_pallas_batch(
+        jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(m1),
+        jnp.asarray(m2), symmetric=True, interpret=True)
+    for b in range(B):
+        idx_r, valid_r, best_r = match_descriptors(
+            jnp.asarray(d1[b]), jnp.asarray(d2[b]),
+            mask1=jnp.asarray(m1[b]), mask2=jnp.asarray(m2[b]),
+            symmetric=True)
+        vb = np.asarray(valid_b[b]); vr = np.asarray(valid_r)
+        assert (vb == vr).mean() > 0.97, b
+        both = vb & vr
+        assert (np.asarray(idx_b[b])[both] ==
+                np.asarray(idx_r)[both]).all(), b

@@ -116,28 +116,16 @@ class FeatureMatcher:
                       jax.default_backend() not in ("cpu",) and
                       max_n >= 2048)
         if use_pallas:
-            # fused Pallas kernel per pair (26x the jnp matcher at 8k
-            # descriptors on TPU); symmetry via a reverse pass
-            from .pallas_matcher import match_descriptors_pallas
-            idx2_l, valid_l = [], []
-            for i in range(P):
-                fidx, fval, _ = match_descriptors_pallas(
-                    jnp.asarray(d1[i]), jnp.asarray(d2[i]),
-                    mask1=jnp.asarray(m1[i]), mask2=jnp.asarray(m2[i]),
-                    lowes_ratio=self.options.lowes_ratio)
-                if self.options.keep_only_symmetric_matches:
-                    ridx, rval, _ = match_descriptors_pallas(
-                        jnp.asarray(d2[i]), jnp.asarray(d1[i]),
-                        mask1=jnp.asarray(m2[i]),
-                        mask2=jnp.asarray(m1[i]),
-                        lowes_ratio=self.options.lowes_ratio)
-                    fval = fval & (ridx[fidx] ==
-                                   jnp.arange(fidx.shape[0],
-                                              dtype=fidx.dtype))
-                idx2_l.append(fidx)
-                valid_l.append(fval)
-            idx2 = jnp.stack(idx2_l)
-            valid = jnp.stack(valid_l)
+            # ONE fused Pallas launch for the whole pair batch (the
+            # grid leads with the pair axis; 26x the jnp matcher at 8k
+            # descriptors per-pair, and batching keeps the MXU busy on
+            # small images); symmetry via a batched reverse pass
+            from .pallas_matcher import match_descriptors_pallas_batch
+            idx2, valid, _ = match_descriptors_pallas_batch(
+                jnp.asarray(d1), jnp.asarray(d2),
+                jnp.asarray(m1), jnp.asarray(m2),
+                lowes_ratio=self.options.lowes_ratio,
+                symmetric=self.options.keep_only_symmetric_matches)
         elif self.options.matcher == "cascade_hashing":
             if self._hasher is None:
                 self._hasher = CascadeHasher(D, seed=self.options.seed)

@@ -117,6 +117,127 @@ def _pallas_top2(d1, d2, n2_sq, interpret: bool = False):
     )(d1, d2, n2_sq)
 
 
+def _match_kernel_batched(d1_ref, d2_ref, n2_ref, best_ref, second_ref,
+                          idx_ref, acc_best, acc_second, acc_idx):
+    """Batched variant: grid (B, N1/TILE_M, N2/TILE_N); one pair per
+    leading grid index, j still the sequential reduction axis."""
+    j = pl.program_id(2)
+    n_j = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc_best[:] = jnp.full_like(acc_best, jnp.inf)
+        acc_second[:] = jnp.full_like(acc_second, jnp.inf)
+        acc_idx[:] = jnp.zeros_like(acc_idx)
+
+    ab = jnp.dot(d1_ref[0], d2_ref[0].T,
+                 preferred_element_type=jnp.float32)   # (M, N) on MXU
+    dist = n2_ref[0] - 2.0 * ab                        # (M, N)
+
+    m1 = jnp.min(dist, axis=1, keepdims=True)
+    col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+    amin = jnp.argmin(dist, axis=1)[:, None]
+    masked = jnp.where(col == amin, jnp.inf, dist)
+    m2 = jnp.min(masked, axis=1, keepdims=True)
+    tile_idx = (amin + j * dist.shape[1]).astype(jnp.int32)
+
+    b0, s0, i0 = acc_best[:], acc_second[:], acc_idx[:]
+    new_best = jnp.minimum(b0, m1)
+    new_idx = jnp.where(m1 < b0, tile_idx, i0)
+    new_second = jnp.minimum(jnp.maximum(b0, m1), jnp.minimum(s0, m2))
+    acc_best[:] = new_best
+    acc_second[:] = new_second
+    acc_idx[:] = new_idx
+
+    @pl.when(j == n_j - 1)
+    def _():
+        best_ref[0] = acc_best[:]
+        second_ref[0] = acc_second[:]
+        idx_ref[0] = acc_idx[:]
+
+
+def _pallas_top2_batched(d1, d2, n2_sq, interpret: bool = False):
+    B, M, D = d1.shape
+    N = d2.shape[1]
+    grid = (B, M // TILE_M, N // TILE_N)
+    out_shape = [
+        jax.ShapeDtypeStruct((B, M, 1), jnp.float32),
+        jax.ShapeDtypeStruct((B, M, 1), jnp.float32),
+        jax.ShapeDtypeStruct((B, M, 1), jnp.int32),
+    ]
+    out_spec = pl.BlockSpec((1, TILE_M, 1), lambda b, i, j: (b, i, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _match_kernel_batched,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TILE_M, D), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_N, D), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TILE_N), lambda b, i, j: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec, out_spec, out_spec],
+        scratch_shapes=[
+            pltpu.VMEM((TILE_M, 1), jnp.float32),
+            pltpu.VMEM((TILE_M, 1), jnp.float32),
+            pltpu.VMEM((TILE_M, 1), jnp.int32),
+        ],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(d1, d2, n2_sq)
+
+
+@partial(jax.jit, static_argnames=("lowes_ratio", "symmetric",
+                                   "interpret"))
+def match_descriptors_pallas_batch(desc1, desc2, mask1, mask2,
+                                   lowes_ratio: float = 0.8,
+                                   symmetric: bool = True,
+                                   interpret: bool = False):
+    """Batched fused matcher over a stack of image pairs.
+
+    desc1/desc2: (B, N, D) padded descriptor stacks; mask1/mask2 mark
+    valid rows. One pallas_call matches ALL pairs (grid leads with the
+    pair axis) instead of a Python loop of per-pair launches — the
+    batch dimension keeps the MXU busy across small images and
+    amortizes dispatch. Returns (idx2 (B,N), valid (B,N), dist (B,N)).
+    """
+    B, N0, D = desc1.shape
+    # both stacks serve as queries AND keys (symmetric pass), so pad to
+    # the common tile multiple
+    T = max(TILE_M, TILE_N)
+    N = ((N0 + T - 1) // T) * T
+    d1 = jnp.zeros((B, N, D), jnp.float32).at[:, :N0].set(
+        desc1.astype(jnp.float32))
+    d2 = jnp.zeros((B, N, D), jnp.float32).at[:, :N0].set(
+        desc2.astype(jnp.float32))
+    big = jnp.asarray(1e30, jnp.float32)
+
+    def n2_of(d, mask):
+        n2 = jnp.sum(d * d, axis=-1)
+        valid = jnp.zeros((B, d.shape[1]), bool).at[:, :N0].set(mask)
+        return jnp.where(valid, n2, big)
+
+    n2 = n2_of(d2, mask2)
+    best, second, idx = _pallas_top2_batched(d1, d2, n2[:, None, :],
+                                             interpret=interpret)
+    n1_sq = jnp.sum(d1 * d1, axis=-1, keepdims=True)
+    best = jnp.maximum((best + n1_sq)[:, :N0, 0], 0.0)
+    second = jnp.maximum((second + n1_sq)[:, :N0, 0], 0.0)
+    idx = idx[:, :N0, 0]
+    valid = (best < (lowes_ratio ** 2) * second) & mask1
+
+    if symmetric:
+        n1 = n2_of(d1, mask1)
+        rbest, rsecond, ridx = _pallas_top2_batched(
+            d2, d1, n1[:, None, :], interpret=interpret)
+        ridx = ridx[:, :N0, 0]
+        back = jnp.take_along_axis(ridx, idx, axis=1)
+        valid = valid & (back == jnp.arange(N0, dtype=idx.dtype)[None])
+    return idx, valid, best
+
+
 def match_descriptors_pallas(desc1, desc2, mask1=None, mask2=None,
                              lowes_ratio: float = 0.8,
                              interpret: bool = False):
