@@ -172,3 +172,53 @@ def test_pmvs_export(tmp_path, rng):
     assert n == 4
     assert (tmp_path / "pmvs" / "txt" / "00000000.txt").exists()
     assert (tmp_path / "pmvs" / "pmvs_options.txt").exists()
+
+
+def test_native_theia_reader_parity():
+    """C++ reader (native/theia_io.cc) must parse identically to the
+    pure-Python cereal parser."""
+    import numpy as np
+    from theiasfm_tpu.io.theia_format import (
+        read_theia_reconstruction, read_theia_reconstruction_native)
+
+    path = "/root/reference/data/sfm/fountain11.bin"
+    rn = read_theia_reconstruction_native(path)
+    if rn is None:
+        import pytest
+        pytest.skip("native library not built")
+    rp = read_theia_reconstruction(path, prefer_native=False)
+    assert rn.num_views() == rp.num_views()
+    assert rn.num_tracks() == rp.num_tracks()
+    for vid in rp.views:
+        vp, vn = rp.view(vid), rn.view(vid)
+        assert vp.name == vn.name
+        np.testing.assert_array_equal(vp.camera.extrinsics,
+                                      vn.camera.extrinsics)
+        np.testing.assert_array_equal(vp.camera.intrinsics,
+                                      vn.camera.intrinsics)
+        assert set(vp.features) == set(vn.features)
+    for tid in rp.tracks:
+        np.testing.assert_array_equal(rp.track(tid).point,
+                                      rn.track(tid).point)
+
+
+def test_native_reader_roundtrip_writer(tmp_path):
+    """Our writer's output parses identically through both readers."""
+    import numpy as np
+    from theiasfm_tpu.io.theia_format import (
+        read_theia_reconstruction, read_theia_reconstruction_native,
+        write_theia_reconstruction)
+
+    src = read_theia_reconstruction(
+        "/root/reference/data/sfm/fountain11.bin", prefer_native=False)
+    path = str(tmp_path / "rt_native.bin")
+    write_theia_reconstruction(path, src)
+    rn = read_theia_reconstruction_native(path)
+    if rn is None:
+        import pytest
+        pytest.skip("native library not built")
+    assert rn.num_views() == src.num_views()
+    assert rn.num_tracks() == src.num_tracks()
+    for vid in src.views:
+        np.testing.assert_allclose(rn.view(vid).camera.extrinsics,
+                                   src.view(vid).camera.extrinsics)

@@ -22,6 +22,7 @@ type per archive, strings/containers length-prefixed with uint64.
 """
 from __future__ import annotations
 
+import ctypes
 import struct
 from typing import Dict
 
@@ -242,8 +243,120 @@ def _read_polymorphic_intrinsics(c: _Cursor):
     return model_type, intr
 
 
-def read_theia_reconstruction(path: str) -> Reconstruction:
-    """Parse a Theia .bin reconstruction into our data model."""
+def read_theia_reconstruction_native(path: str):
+    """Parse via the C++ reader (native/theia_io.cc). Returns None when
+    the native library is unavailable or the file fails to parse (the
+    caller falls back to the pure-Python parser)."""
+    from ..utils.native import get_lib
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "theia_read"):
+        return None
+    h = lib.theia_read(path.encode())
+    if not h:
+        return None
+    try:
+        nv = lib.theia_num_views(h)
+        nt = lib.theia_num_tracks(h)
+        no = lib.theia_num_obs(h)
+        ns = lib.theia_names_size(h)
+        vids = np.zeros(nv, np.uint32)
+        est = np.zeros(nv, np.uint8)
+        model = np.zeros(nv, np.int32)
+        extr = np.zeros((nv, 6), np.float64)
+        intr = np.zeros((nv, MAX_INTRINSICS), np.float64)
+        wh = np.zeros((nv, 2), np.int32)
+        group = np.zeros(nv, np.uint32)
+        lib.theia_get_views(h, vids, est, model,
+                            extr.reshape(-1), intr.reshape(-1),
+                            wh.reshape(-1), group)
+        names_buf = ctypes.create_string_buffer(max(int(ns), 1))
+        name_off = np.zeros(nv + 1, np.int64)
+        lib.theia_get_names(h, names_buf, name_off)
+        names_raw = names_buf.raw[:ns].decode("utf-8")
+        p_model = np.zeros(nv, np.int32)
+        p_wh = np.zeros((nv, 2), np.int32)
+        p_set = np.zeros(nv, np.uint8)
+        p_vals = np.zeros((nv, 17), np.float64)
+        lib.theia_get_priors(h, p_model, p_wh.reshape(-1), p_set,
+                             p_vals.reshape(-1))
+        tids = np.zeros(nt, np.uint32)
+        test_ = np.zeros(nt, np.uint8)
+        points = np.zeros((nt, 4), np.float64)
+        colors = np.zeros((nt, 3), np.uint8)
+        lib.theia_get_tracks(h, tids, test_, points.reshape(-1),
+                             colors.reshape(-1))
+        ov = np.zeros(no, np.uint32)
+        ot = np.zeros(no, np.uint32)
+        oxy = np.zeros((no, 2), np.float64)
+        lib.theia_get_obs(h, ov, ot, oxy.reshape(-1))
+    finally:
+        lib.theia_recon_free(h)
+
+    recon = Reconstruction()
+    order = np.argsort(vids, kind="stable")
+    id_remap = {}
+    for i in order:
+        name = names_raw[name_off[i]:name_off[i + 1]]
+        new_vid = recon.add_view(name, group=int(group[i]))
+        id_remap[int(vids[i])] = new_vid
+        view = recon.view(new_vid)
+        view.is_estimated = bool(est[i])
+        cam = view.camera
+        cam.model_type = CameraModelType(int(model[i]))
+        cam.extrinsics = extr[i].copy()
+        cam.intrinsics = intr[i].copy()
+        cam.image_width = int(wh[i, 0])
+        cam.image_height = int(wh[i, 1])
+        pr = CameraIntrinsicsPrior()
+        pr.image_width = int(p_wh[i, 0])
+        pr.image_height = int(p_wh[i, 1])
+        pr.camera_intrinsics_model_type = CameraModelType(
+            int(p_model[i]))
+        s, v = int(p_set[i]), p_vals[i]
+        if s & 1:
+            pr.focal_length = float(v[0])
+        if s & 2:
+            pr.principal_point = (float(v[1]), float(v[2]))
+        if s & 4:
+            pr.aspect_ratio = float(v[3])
+        if s & 8:
+            pr.skew = float(v[4])
+        if s & 16:
+            pr.radial_distortion = tuple(float(x) for x in v[5:9])
+        if s & 32:
+            pr.tangential_distortion = (float(v[9]), float(v[10]))
+        if s & 64:
+            pr.position = v[11:14].copy()
+        if s & 128:
+            pr.orientation = v[14:17].copy()
+        view.prior = pr
+
+    tid_remap = {}
+    for i in np.argsort(tids, kind="stable"):
+        new_tid = recon.add_track()
+        tid_remap[int(tids[i])] = new_tid
+        tr = recon.track(new_tid)
+        tr.is_estimated = bool(test_[i])
+        tr.point = points[i].copy()
+        tr.color = colors[i].copy()
+
+    for k in range(no):
+        tid = int(ot[k])
+        if tid in tid_remap:
+            recon.add_observation(id_remap[int(ov[k])], tid_remap[tid],
+                                  oxy[k])
+    return recon
+
+
+def read_theia_reconstruction(path: str,
+                              prefer_native: bool = True
+                              ) -> Reconstruction:
+    """Parse a Theia .bin reconstruction into our data model (C++ fast
+    path when built, pure-Python parser otherwise)."""
+    if prefer_native:
+        recon = read_theia_reconstruction_native(path)
+        if recon is not None:
+            return recon
     with open(path, "rb") as f:
         data = f.read()
     c = _Cursor(data)

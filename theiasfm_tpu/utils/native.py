@@ -54,6 +54,27 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.kruskal_mst.argtypes = [i64p, i64p, f64p, ctypes.c_int64,
                                 ctypes.c_int64, i64p]
     lib.kruskal_mst.restype = ctypes.c_int64
+
+    # theia cereal-binary reader (theia_io.cc)
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.theia_read.argtypes = [ctypes.c_char_p]
+    lib.theia_read.restype = ctypes.c_void_p
+    lib.theia_recon_free.argtypes = [ctypes.c_void_p]
+    for fn in ("theia_num_views", "theia_num_tracks", "theia_num_obs",
+               "theia_names_size"):
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+        getattr(lib, fn).restype = ctypes.c_int64
+    lib.theia_get_views.argtypes = [
+        ctypes.c_void_p, u32p, u8p, i32p, f64p, f64p, i32p, u32p]
+    lib.theia_get_names.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, i64p]
+    lib.theia_get_priors.argtypes = [
+        ctypes.c_void_p, i32p, i32p, u8p, f64p]
+    lib.theia_get_tracks.argtypes = [
+        ctypes.c_void_p, u32p, u8p, f64p, u8p]
+    lib.theia_get_obs.argtypes = [ctypes.c_void_p, u32p, u32p, f64p]
     _LIB = lib
     return _LIB
 
