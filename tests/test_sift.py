@@ -72,3 +72,25 @@ def test_sift_rotation_matching(rng):
     pred = (kps1[sel, :2] - c) @ R.T + c
     err = np.linalg.norm(pred - kps2[idx2[sel], :2], axis=-1)
     assert np.median(err) < 3.0, np.median(err)
+
+
+def test_extract_sift_batch_matches_single(rng):
+    """Batched (vmapped) extraction must match per-image extraction."""
+    from theiasfm_tpu.image.sift import (SiftOptions, extract_sift,
+                                         extract_sift_batch)
+    import numpy as np
+    imgs = []
+    for i in range(3):
+        img = np.zeros((96, 128), np.float32)
+        r = np.random.default_rng(i)
+        for _ in range(12):
+            y, x = r.integers(12, 84), r.integers(12, 116)
+            img[y - 3:y + 3, x - 3:x + 3] = r.uniform(0.5, 1.0)
+        imgs.append(img)
+    opts = SiftOptions()
+    batch = extract_sift_batch(imgs, opts)
+    for im, (kb, db_, vb) in zip(imgs, batch):
+        ks, ds, vs = extract_sift(im, opts)
+        np.testing.assert_array_equal(vb, vs)
+        np.testing.assert_allclose(kb[vb], ks[vs], atol=1e-4)
+        np.testing.assert_allclose(db_[vb], ds[vs], atol=1e-4)

@@ -1,5 +1,5 @@
 from .float_image import FloatImage, load_gray  # noqa: F401
-from .sift import SiftOptions, extract_sift  # noqa: F401
+from .sift import SiftOptions, extract_sift, extract_sift_batch  # noqa: F401
 from .akaze import AkazeOptions, extract_akaze  # noqa: F401
 
 

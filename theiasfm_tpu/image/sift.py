@@ -292,8 +292,7 @@ def _descriptors(mag_pyr, ang_pyr, sl, yk, xk, sigma_rel, theta):
     return desc
 
 
-@partial(jax.jit, static_argnames=("opts", "octave_shapes"))
-def _extract_device(image, opts: SiftOptions, octave_shapes):
+def _extract_impl(image, opts: SiftOptions, octave_shapes):
     S = opts.levels_per_octave
     k = 2.0 ** (1.0 / S)
     base = image
@@ -332,6 +331,68 @@ def _extract_device(image, opts: SiftOptions, octave_shapes):
     valid = jnp.concatenate([o[2] for o in all_out])
     score = jnp.concatenate([o[3] for o in all_out])
     return kps, desc, valid, score
+
+
+@partial(jax.jit, static_argnames=("opts", "octave_shapes"))
+def _extract_device(image, opts: SiftOptions, octave_shapes):
+    return _extract_impl(image, opts, octave_shapes)
+
+
+@partial(jax.jit, static_argnames=("opts", "octave_shapes"))
+def _extract_device_batch(images, opts: SiftOptions, octave_shapes):
+    """vmapped extraction over a stack of same-shape images — one
+    device call per bucket instead of per image (ROADMAP: batch
+    same-bucket images; the pyramid convs batch onto the same fused
+    kernels)."""
+    return jax.vmap(lambda im: _extract_impl(im, opts, octave_shapes))(
+        images)
+
+
+def _pad_and_shapes(img: np.ndarray, opts: SiftOptions):
+    """Host-side: pad (H, W) so every octave halves exactly; returns
+    (padded image, octave shapes tuple)."""
+    H, W = img.shape
+    shapes = []
+    h, w = H, W
+    for _ in range(opts.num_octaves):
+        if h < 16 or w < 16:
+            break
+        shapes.append((h, w))
+        h, w = (h + 1) // 2, (w + 1) // 2
+    H_pad = ((H - 1) // (1 << len(shapes)) + 1) * (1 << len(shapes))
+    W_pad = ((W - 1) // (1 << len(shapes)) + 1) * (1 << len(shapes))
+    img = np.pad(img, ((0, H_pad - H), (0, W_pad - W)), mode="edge")
+    shapes = []
+    h, w = H_pad, W_pad
+    for _ in range(opts.num_octaves):
+        if h < 16 or w < 16:
+            break
+        shapes.append((h, w))
+        h, w = h // 2, w // 2
+    return img, tuple(shapes)
+
+
+def extract_sift_batch(images, opts: SiftOptions = SiftOptions()):
+    """Batched SIFT over same-shape grayscale images ((B, H, W) stack
+    or list of equal-shape arrays). Returns per-image
+    (keypoints, descriptors, valid) like extract_sift."""
+    imgs = [np.asarray(im, np.float32) for im in images]
+    H, W = imgs[0].shape
+    assert all(im.shape == (H, W) for im in imgs), "same-shape batch"
+    if opts.upsample:
+        imgs = [np.kron(im, np.ones((2, 2), np.float32))
+                for im in imgs]
+    padded, shapes = zip(*[_pad_and_shapes(im, opts) for im in imgs])
+    kps, desc, valid, _ = _extract_device_batch(
+        jnp.stack([jnp.asarray(p) for p in padded]), opts, shapes[0])
+    kps = np.asarray(kps)
+    desc = np.asarray(desc)
+    valid = np.asarray(valid)
+    # keypoint coords are in ORIGINAL image scale (scale_mult undoes
+    # the upsample), so gate against the pre-upsample dims
+    in_img = (kps[..., 0] < W) & (kps[..., 1] < H)
+    valid = valid & in_img
+    return [(kps[b], desc[b], valid[b]) for b in range(len(imgs))]
 
 
 def extract_sift(image: np.ndarray, opts: SiftOptions = SiftOptions()):

@@ -25,6 +25,9 @@ class FeatureExtractorOptions:
     """ref: feature_extractor.h Options."""
     sift: SiftOptions = SiftOptions()
     max_image_dimension: int = 3200  # downsample larger images
+    # same-shape images batch into ONE vmapped device call, capped by a
+    # pixel budget (pyramid memory ~ 6 levels * pixels * 4B per image)
+    batch_pixel_budget: int = 32 * 1024 * 1024
 
 
 class FeatureExtractor:
@@ -32,23 +35,46 @@ class FeatureExtractor:
                  FeatureExtractorOptions()):
         self.options = options
 
+    def _load(self, path: str):
+        gray = load_gray(path)
+        scale = 1.0
+        m = max(gray.shape)
+        if m > self.options.max_image_dimension:
+            step = int(np.ceil(m / self.options.max_image_dimension))
+            gray = gray[::step, ::step]
+            scale = float(step)
+        return gray, scale
+
     def extract(self, image_paths: List[str]
                 ) -> Dict[str, KeypointsAndDescriptors]:
-        out = {}
+        from ..image.sift import extract_sift_batch
+
+        loaded = []
         for path in image_paths:
             name = os.path.basename(path)
-            gray = load_gray(path)
-            scale = 1.0
-            m = max(gray.shape)
-            if m > self.options.max_image_dimension:
-                step = int(np.ceil(m / self.options.max_image_dimension))
-                gray = gray[::step, ::step]
-                scale = float(step)
-            kps, desc, valid = extract_sift(gray, self.options.sift)
-            kps, desc = kps[valid].copy(), desc[valid]
-            kps[:, :3] *= scale
-            out[name] = KeypointsAndDescriptors(name, kps, desc)
-            logger.info("%s: %d features", name, len(kps))
+            gray, scale = self._load(path)
+            loaded.append((name, gray, scale))
+
+        # group same-shape images, batch each group through one
+        # vmapped device call (chunked by the pixel budget)
+        groups: Dict[tuple, list] = {}
+        for i, (name, gray, scale) in enumerate(loaded):
+            groups.setdefault(gray.shape, []).append(i)
+
+        out = {}
+        for shape, idxs in groups.items():
+            per = max(1, self.options.batch_pixel_budget //
+                      max(shape[0] * shape[1], 1))
+            for s in range(0, len(idxs), per):
+                chunk = idxs[s:s + per]
+                results = extract_sift_batch(
+                    [loaded[i][1] for i in chunk], self.options.sift)
+                for i, (kps, desc, valid) in zip(chunk, results):
+                    name, _, scale = loaded[i]
+                    kps, desc = kps[valid].copy(), desc[valid]
+                    kps[:, :3] *= scale
+                    out[name] = KeypointsAndDescriptors(name, kps, desc)
+                    logger.info("%s: %d features", name, len(kps))
         return out
 
     def extract_to_db(self, image_paths: List[str],
