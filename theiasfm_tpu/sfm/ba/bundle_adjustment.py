@@ -312,13 +312,11 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         def _psum(x):
             return x
 
-    def build_system(extr, intr, pts):
+    def build_system(extr, intr, pts, r0):
+        """r0: raw residuals at (extr, intr, pts) — reused from the
+        previous accept/reject cost evaluation (one residual pass per
+        LM iteration instead of two)."""
         p = prob._replace(extrinsics=extr, intrinsics=intr, points=pts)
-        # raw residuals for robust weights
-        r0 = jax.vmap(lambda e, i, q, pix: _residual_one(
-            opts.model_type, e, i, q, pix)[0])(
-            extr[prob.obs_cam], intr[prob.obs_group], pts[prob.obs_pt],
-            prob.obs_pix)
         s = jnp.sum(r0 * r0, axis=-1)
         w = robust_weight(opts.loss, s, opts.loss_scale)
         w = jnp.where(obs_valid, w, 0.0)
@@ -474,40 +472,53 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         return dc, dg, dp
 
     # ----------------------------------------------------------------- LM
-    def total_cost(extr, intr, pts):
-        p = prob._replace(extrinsics=extr, intrinsics=intr, points=pts)
-        return _psum(ba_cost(p, opts))
+    def cost_and_residuals(extr, intr, pts):
+        """One residual pass: total robust cost AND the raw residuals
+        (reused for the next iteration's jacobian weights)."""
+        def f(e, i, p, pix):
+            return _residual_one(opts.model_type, e, i, p, pix)
 
-    cost0 = total_cost(prob.extrinsics, prob.intrinsics, prob.points)
+        r, bad = jax.vmap(f)(extr[prob.obs_cam], intr[prob.obs_group],
+                             pts[prob.obs_pt], prob.obs_pix)
+        s = jnp.sum(r * r, axis=-1)
+        w2 = robust_weight(opts.loss, s, opts.loss_scale) ** 2
+        cost_m = jnp.where(bad, 1e8, w2 * s)
+        cost = 0.5 * jnp.sum(jnp.where(obs_valid, cost_m, 0.0))
+        return _psum(cost), r
+
+    cost0, r0_init = cost_and_residuals(prob.extrinsics,
+                                        prob.intrinsics, prob.points)
 
     def lm_cond(st):
-        it, _, _, _, lam, cost, done = st
+        it, _, _, _, lam, cost, _, done = st
         return (it < opts.max_iterations) & ~done
 
     def lm_body(st):
-        it, extr, intr, pts, lam, cost, done = st
-        r, Jc, Ji, Jp = build_system(extr, intr, pts)
+        it, extr, intr, pts, lam, cost, r_cur, done = st
+        r, Jc, Ji, Jp = build_system(extr, intr, pts, r_cur)
         dc, dg, dp = solve_normal_eqs(r, Jc, Ji, Jp, lam)
         extr_new = extr + dc
         intr_new = intr + dg
         pts_new = pts + dp
-        new_cost = total_cost(extr_new, intr_new, pts_new)
+        new_cost, r_new = cost_and_residuals(extr_new, intr_new,
+                                             pts_new)
         accept = new_cost < cost
         extr = jnp.where(accept, extr_new, extr)
         intr = jnp.where(accept, intr_new, intr)
         pts = jnp.where(accept, pts_new, pts)
+        r_cur = jnp.where(accept, r_new, r_cur)
         lam = jnp.where(accept,
                         jnp.maximum(lam * 0.33, opts.min_lambda),
                         jnp.minimum(lam * 10.0, opts.max_lambda))
         rel_decrease = (cost - new_cost) / jnp.maximum(cost, 1e-30)
         done = accept & (rel_decrease < opts.function_tolerance)
         cost = jnp.where(accept, new_cost, cost)
-        return (it + 1, extr, intr, pts, lam, cost, done)
+        return (it + 1, extr, intr, pts, lam, cost, r_cur, done)
 
     st0 = (jnp.zeros((), jnp.int32), prob.extrinsics, prob.intrinsics,
            prob.points, jnp.asarray(opts.initial_lambda, dtype), cost0,
-           jnp.zeros((), bool))
-    it, extr, intr, pts, lam, cost, _ = jax.lax.while_loop(
+           r0_init, jnp.zeros((), bool))
+    it, extr, intr, pts, lam, cost, _, _ = jax.lax.while_loop(
         lm_cond, lm_body, st0)
 
     out = prob._replace(extrinsics=extr, intrinsics=intr, points=pts)
