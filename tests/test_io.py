@@ -222,3 +222,16 @@ def test_native_reader_roundtrip_writer(tmp_path):
     for vid in src.views:
         np.testing.assert_allclose(rn.view(vid).camera.extrinsics,
                                    src.view(vid).camera.extrinsics)
+
+
+def test_feature_file_roundtrip(tmp_path, rng):
+    from theiasfm_tpu.io import (read_keypoints_and_descriptors,
+                                 write_keypoints_and_descriptors)
+    import numpy as np
+    kp = rng.normal(size=(17, 4)).astype(np.float32)
+    desc = rng.normal(size=(17, 128)).astype(np.float32)
+    p = str(tmp_path / "img.features")
+    write_keypoints_and_descriptors(p, kp, desc)
+    kp2, desc2 = read_keypoints_and_descriptors(p)
+    np.testing.assert_array_equal(kp, kp2)
+    np.testing.assert_array_equal(desc, desc2)

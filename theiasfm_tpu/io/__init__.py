@@ -16,3 +16,6 @@ from .sift_key import (  # noqa: F401
 )
 from .pmvs import export_pmvs  # noqa: F401
 from .populate_image_sizes import populate_image_sizes  # noqa: F401
+from .features_files import (  # noqa: F401
+    read_keypoints_and_descriptors, write_keypoints_and_descriptors,
+)
