@@ -94,3 +94,21 @@ def test_extract_sift_batch_matches_single(rng):
         np.testing.assert_array_equal(vb, vs)
         np.testing.assert_allclose(kb[vb], ks[vs], atol=1e-4)
         np.testing.assert_allclose(db_[vb], ds[vs], atol=1e-4)
+
+
+def test_root_sift_and_upright(rng):
+    from theiasfm_tpu.image.sift import SiftOptions, extract_sift
+    import numpy as np
+    img = np.zeros((96, 128), np.float32)
+    r = np.random.default_rng(5)
+    for _ in range(12):
+        y, x = r.integers(12, 84), r.integers(12, 116)
+        img[y - 3:y + 3, x - 3:x + 3] = r.uniform(0.5, 1.0)
+    k1, d1, v1 = extract_sift(img, SiftOptions(root_sift=True,
+                                               upright=True))
+    # RootSIFT: descriptors are L2-normalized sqrt-L1 vectors
+    norms = np.linalg.norm(d1[v1], axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+    assert (d1[v1] >= 0).all()
+    # upright: thetas are all zero
+    assert np.allclose(k1[v1][:, 3], 0.0)

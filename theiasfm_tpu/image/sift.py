@@ -37,6 +37,12 @@ class SiftOptions:
     edge_threshold: float = 10.0
     max_features_per_octave: int = 1024
     upsample: bool = False  # first_octave = -1 equivalent
+    # ref SiftParameters descriptor knobs (sift_parameters.h:68-72).
+    # The reference DEFAULTS to root_sift=True, upright_sift=True; our
+    # defaults preserve classic (oriented, L2) SIFT — flip both for
+    # reference-default behavior.
+    root_sift: bool = False   # desc <- sqrt(desc / ||desc||_1)
+    upright: bool = False     # skip orientation assignment (theta=0)
 
 
 def _gauss_kernel(sigma: float, dtype=jnp.float32):
@@ -316,9 +322,19 @@ def _extract_impl(image, opts: SiftOptions, octave_shapes):
             _octave_keypoints(G, opts)
         mag, ang = jax.vmap(_gradients)(G)
         sigma_rel = opts.sigma0 * (k ** s_ref)        # octave pixels
-        theta = _keypoint_orientation(mag, ang, sl, iy, ix, sigma_rel)
+        if opts.upright:
+            # ref upright_sift: one canonical-orientation descriptor
+            theta = jnp.zeros_like(sigma_rel)
+        else:
+            theta = _keypoint_orientation(mag, ang, sl, iy, ix,
+                                          sigma_rel)
         desc = _descriptors(mag, ang, sl, y_ref, x_ref, sigma_rel,
                             theta)
+        if opts.root_sift:
+            # RootSIFT (Arandjelovic-Zisserman): L1-normalize + sqrt,
+            # so L2 distance on the result = Hellinger distance
+            desc = jnp.sqrt(desc / jnp.maximum(
+                jnp.sum(desc, axis=-1, keepdims=True), 1e-12))
         scale_mult = 2.0 ** o * (0.5 if opts.upsample else 1.0)
         kps = jnp.stack([
             x_ref * scale_mult, y_ref * scale_mult,

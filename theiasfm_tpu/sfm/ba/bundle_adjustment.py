@@ -805,9 +805,43 @@ def jitted_bundle_adjust(opts: BAOptions):
     return jax.jit(lambda p: bundle_adjust(p, opts))
 
 
+def bundle_adjust_host_f64(prob: BAProblem, opts: BAOptions):
+    """Final-polish BA on the host CPU backend in float64.
+
+    TPUs are f32-native (f64 is unsupported on this runner); the final
+    LM iterations of a converged reconstruction can be re-run in f64 on
+    the host CPU to squeeze out f32 convergence residue. Measured on
+    fountain-11 the f32 TPU pipeline already matches the reference
+    (median 2.04mm vs published 2.0mm), so this is belt-and-braces for
+    ill-conditioned scenes; it mirrors the reference, where Ceres runs
+    everything in double. Cost: a few seconds for fountain-scale.
+    """
+    cpu = jax.devices("cpu")[0]
+    with jax.enable_x64(True):
+        with jax.default_device(cpu):
+            def to64(x):
+                if x is None:
+                    return None
+                arr = np.asarray(x)
+                if arr.dtype == np.float32:
+                    arr = arr.astype(np.float64)
+                return jnp.asarray(arr)
+
+            prob64 = BAProblem(*[to64(f) for f in prob])
+            out, summary = jitted_bundle_adjust(opts)(prob64)
+            out = jax.tree.map(
+                lambda x: np.asarray(x) if x is not None else None, out,
+                is_leaf=lambda x: x is None)
+    return out, summary
+
+
 def bundle_adjust_bucketed(prob: BAProblem, opts: BAOptions):
     """Pad to buckets (sorted by point), run the cached jitted solver,
-    slice back."""
+    slice back.
+
+    Inherits the caller's matmul precision (utils/precision.py policy:
+    platform default — measured accuracy-neutral end-to-end on the
+    fountain-11 TPU gate)."""
     Nc, Np = prob.extrinsics.shape[0], prob.points.shape[0]
     padded = pad_ba_problem(prob)
     opts = dataclasses.replace(opts, point_indices_sorted=True)

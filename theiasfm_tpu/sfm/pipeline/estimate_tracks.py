@@ -20,6 +20,7 @@ import numpy as np
 from ...utils import next_bucket, pad_to
 from .. import triangulation as tri
 from ..reconstruction import Reconstruction
+from ...utils.precision import geometry_precision
 
 
 @dataclasses.dataclass(frozen=True)
@@ -53,6 +54,7 @@ def _triangulate_tracks_device(Ps, origins, pixels, mask, max_views):
     return X, angles, max_err, in_front
 
 
+@geometry_precision
 def estimate_all_tracks(recon: Reconstruction,
                         opts: EstimateTracksOptions,
                         track_ids=None) -> int:

@@ -15,6 +15,7 @@ import dataclasses
 import logging
 from typing import Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -32,6 +33,7 @@ from ..view_graph import ViewGraph
 from .estimate_tracks import EstimateTracksOptions, estimate_all_tracks
 from .filters import (set_outlier_tracks_to_unestimated,
                       set_underconstrained_as_unestimated)
+from ...utils.precision import geometry_precision
 
 logger = logging.getLogger(__name__)
 
@@ -62,6 +64,9 @@ class GlobalOptions:
     track_subset_grid_cell_size: int = 100
     ba_loss: str = "softl1"
     ba_loss_scale_pixels: float = 2.0
+    # optional f64 host polish after the final BA (off: measured no
+    # effect on fountain-11; expensive at 1DSfM scale on CPU)
+    final_polish_x64: bool = False
 
 
 def _graph_arrays(graph: ViewGraph):
@@ -78,7 +83,7 @@ def _graph_arrays(graph: ViewGraph):
             np.asarray(w))
 
 
-def _run_ba(recon: Reconstruction, opts: GlobalOptions):
+def _run_ba(recon: Reconstruction, opts: GlobalOptions, polish=False):
     track_subset = None
     if opts.subsample_tracks_for_ba:
         from .select_good_tracks import \
@@ -101,6 +106,23 @@ def _run_ba(recon: Reconstruction, opts: GlobalOptions):
     logger.info("BA: cost %.4g -> %.4g (%d iters)",
                 float(summary.initial_cost), float(summary.final_cost),
                 int(summary.num_iterations))
+    if polish and opts.final_polish_x64 and \
+            jax.default_backend() != "cpu":
+        # f64 host polish (see bundle_adjust_host_f64): recovers the
+        # reference's all-double Ceres accuracy on f32-native chips
+        from ..ba.bundle_adjustment import (bundle_adjust_host_f64,
+                                            pad_ba_problem)
+        prob2, maps2 = recon.to_ba_problem(track_subset=track_subset)
+        if prob2.obs_pix.shape[0]:
+            padded = pad_ba_problem(prob2)
+            popts = dataclasses.replace(ba_opts, max_iterations=15,
+                                        point_indices_sorted=True)
+            out2, _ = bundle_adjust_host_f64(padded, popts)
+            out2 = prob2._replace(
+                extrinsics=out2.extrinsics[:prob2.extrinsics.shape[0]],
+                intrinsics=out2.intrinsics[:prob2.intrinsics.shape[0]],
+                points=out2.points[:prob2.points.shape[0]])
+            recon.update_from_ba(out2, maps2)
 
 
 def _refine_relative_translations(recon, vid_idx, orientations, edges,
@@ -156,6 +178,7 @@ def _refine_relative_translations(recon, vid_idx, orientations, edges,
     return out
 
 
+@geometry_precision
 def global_reconstruction(recon: Reconstruction, graph: ViewGraph,
                           opts: GlobalOptions = GlobalOptions()) -> Dict:
     """Run the global pipeline. Mutates recon. Returns summary dict with
@@ -299,14 +322,16 @@ def global_reconstruction(recon: Reconstruction, graph: ViewGraph,
     estimate_all_tracks(recon, opts.tracks)
     timings["triangulation_time"] = stage_timer.elapsed_seconds()
     stage_timer.reset()
-    _run_ba(recon, opts)
+    _run_ba(recon, opts,
+            polish=(opts.num_retriangulation_iterations == 0))
     n_out = set_outlier_tracks_to_unestimated(
         recon, opts.max_reprojection_error_pixels,
         opts.min_triangulation_angle_degrees)
-    for _ in range(opts.num_retriangulation_iterations):
+    for i in range(opts.num_retriangulation_iterations):
         set_underconstrained_as_unestimated(recon)
         estimate_all_tracks(recon, opts.tracks)
-        _run_ba(recon, opts)
+        _run_ba(recon, opts,
+                polish=(i == opts.num_retriangulation_iterations - 1))
         n_out = set_outlier_tracks_to_unestimated(
             recon, opts.max_reprojection_error_pixels,
             opts.min_triangulation_angle_degrees)

@@ -30,6 +30,7 @@ from .filters import (set_outlier_tracks_to_unestimated,
                       set_underconstrained_as_unestimated)
 from .incremental import IncrementalOptions, _choose_initial_pair, _run_ba
 from .localize import LocalizeOptions
+from ...utils.precision import geometry_precision
 
 logger = logging.getLogger(__name__)
 
@@ -134,6 +135,7 @@ def localize_view_known_orientation(key, recon: Reconstruction,
     return True
 
 
+@geometry_precision
 def hybrid_reconstruction(recon: Reconstruction, graph: ViewGraph,
                           opts: HybridOptions = HybridOptions()) -> Dict:
     """Run the hybrid pipeline. Mutates recon."""
@@ -204,7 +206,7 @@ def hybrid_reconstruction(recon: Reconstruction, graph: ViewGraph,
             break
 
     estimate_all_tracks(recon, iopts.tracks)
-    _run_ba(recon, iopts)
+    _run_ba(recon, iopts, polish=True)
     set_outlier_tracks_to_unestimated(
         recon, iopts.max_reprojection_error_pixels,
         iopts.min_triangulation_angle_degrees)

@@ -30,6 +30,7 @@ from .estimate_tracks import EstimateTracksOptions, estimate_all_tracks
 from .filters import (set_outlier_tracks_to_unestimated,
                       set_underconstrained_as_unestimated)
 from .localize import LocalizeOptions, localize_view
+from ...utils.precision import geometry_precision
 
 logger = logging.getLogger(__name__)
 
@@ -50,6 +51,11 @@ class IncrementalOptions:
     ba_loss: str = "softl1"
     ba_loss_scale_pixels: float = 2.0
     seed: int = 0
+    # On f32-native accelerators, re-run the FINAL full BA on the host
+    # CPU in float64 (the reference's Ceres runs all-double; see
+    # bundle_adjust_host_f64 — belt-and-braces for ill-conditioned
+    # scenes, f32 TPU already matches the reference on fountain-11)
+    final_polish_x64: bool = False
 
 
 def _choose_initial_pair(recon: Reconstruction, graph: ViewGraph,
@@ -93,7 +99,7 @@ def _initialize_from_pair(recon: Reconstruction, graph: ViewGraph,
 
 
 def _run_ba(recon: Reconstruction, opts: IncrementalOptions,
-            view_subset=None):
+            view_subset=None, polish=False):
     prob, maps = recon.to_ba_problem()
     if prob.obs_pix.shape[0] == 0:
         return
@@ -120,8 +126,29 @@ def _run_ba(recon: Reconstruction, opts: IncrementalOptions,
         optimize_intrinsics=tuple(opts.intrinsics_optimized))
     out, summary = bundle_adjust_bucketed(prob, ba_opts)
     recon.update_from_ba(out, maps)
+    if polish and getattr(opts, "final_polish_x64", True) and \
+            jax.default_backend() != "cpu":
+        # f64 host polish: TPUs are f32-native; the last LM iterations
+        # recover the reference's (all-double Ceres) accuracy (see
+        # bundle_adjust_host_f64)
+        from ..ba.bundle_adjustment import (bundle_adjust_host_f64,
+                                            pad_ba_problem)
+        prob2, maps2 = recon.to_ba_problem()
+        if prob2.obs_pix.shape[0]:
+            prob2 = prob2._replace(cam_mask=prob.cam_mask[
+                :prob2.extrinsics.shape[0]])
+            padded = pad_ba_problem(prob2)
+            popts = dataclasses.replace(ba_opts, max_iterations=15,
+                                        point_indices_sorted=True)
+            out2, _ = bundle_adjust_host_f64(padded, popts)
+            out2 = prob2._replace(
+                extrinsics=out2.extrinsics[:prob2.extrinsics.shape[0]],
+                intrinsics=out2.intrinsics[:prob2.intrinsics.shape[0]],
+                points=out2.points[:prob2.points.shape[0]])
+            recon.update_from_ba(out2, maps2)
 
 
+@geometry_precision
 def incremental_reconstruction(recon: Reconstruction, graph: ViewGraph,
                                opts: IncrementalOptions = IncrementalOptions()
                                ) -> Dict:
@@ -195,7 +222,7 @@ def incremental_reconstruction(recon: Reconstruction, graph: ViewGraph,
 
     # final pass
     estimate_all_tracks(recon, opts.tracks)
-    _run_ba(recon, opts)
+    _run_ba(recon, opts, polish=True)
     set_outlier_tracks_to_unestimated(
         recon, opts.max_reprojection_error_pixels,
         opts.min_triangulation_angle_degrees)

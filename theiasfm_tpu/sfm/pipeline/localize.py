@@ -16,6 +16,7 @@ import numpy as np
 from ...solvers import RansacOptions
 from ..estimators import estimate_calibrated_absolute_pose
 from ..reconstruction import Reconstruction
+from ...utils.precision import geometry_precision
 
 
 @dataclasses.dataclass(frozen=True)
@@ -27,6 +28,7 @@ class LocalizeOptions:
     bundle_adjust_view: bool = True
 
 
+@geometry_precision
 def localize_view(key, recon: Reconstruction, view_id: int,
                   opts: LocalizeOptions) -> bool:
     """Attempt to localize `view_id`. On success sets camera pose and

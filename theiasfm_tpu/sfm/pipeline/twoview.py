@@ -29,6 +29,7 @@ class TwoViewInfoOptions:
 import functools
 
 import jax
+from ...utils.precision import geometry_precision
 
 
 @functools.lru_cache(maxsize=None)
@@ -59,6 +60,7 @@ def _jitted_twoview_batch(num_hypotheses: int):
     return run
 
 
+@geometry_precision
 def estimate_twoview_info_batch(key, pix1, pix2, mask, focal1, focal2,
                                 pp1, pp2, opts: TwoViewInfoOptions):
     """Batched two-view estimation over P pairs in ONE device call.

@@ -17,22 +17,28 @@ from ..math import rotation as rot
 def align_point_clouds(src, dst, with_scale: bool = True):
     """Umeyama least-squares similarity: dst ~ s R src + t.
 
-    Returns (s, R (3,3), t (3,)). ref: AlignPointCloudsUmeyama."""
-    src = jnp.asarray(src)
-    dst = jnp.asarray(dst)
-    mu_s = jnp.mean(src, axis=0)
-    mu_d = jnp.mean(dst, axis=0)
+    Returns (s, R (3,3), t (3,)). ref: AlignPointCloudsUmeyama.
+
+    Host numpy in float64 on purpose: the inputs are tiny (a handful of
+    camera positions), and on TPU the f32 default-precision matmul/SVD
+    inject mm-scale error into the estimated transform — enough to
+    corrupt benchmark evaluation (the reference's Eigen runs in double).
+    """
+    src = np.asarray(src, np.float64)
+    dst = np.asarray(dst, np.float64)
+    mu_s = src.mean(axis=0)
+    mu_d = dst.mean(axis=0)
     sc = src - mu_s
     dc = dst - mu_d
     cov = dc.T @ sc / src.shape[0]
-    U, S, Vt = jnp.linalg.svd(cov)
-    d = jnp.sign(jnp.linalg.det(U @ Vt))
-    D = jnp.asarray([1.0, 1.0, 1.0]).at[2].set(d)
+    U, S, Vt = np.linalg.svd(cov)
+    d = np.sign(np.linalg.det(U @ Vt))
+    D = np.array([1.0, 1.0, d])
     R = (U * D[None, :]) @ Vt
-    var_s = jnp.mean(jnp.sum(sc * sc, axis=-1))
-    s = (jnp.sum(S * D) / jnp.maximum(var_s, 1e-15)) if with_scale else 1.0
+    var_s = np.mean(np.sum(sc * sc, axis=-1))
+    s = float(np.sum(S * D) / max(var_s, 1e-15)) if with_scale else 1.0
     t = mu_d - s * (R @ mu_s)
-    return float(s), np.asarray(R), np.asarray(t)
+    return s, R, t
 
 
 def align_reconstructions_robust(src_pos, dst_pos, n_trials: int = 200,
