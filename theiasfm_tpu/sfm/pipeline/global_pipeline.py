@@ -49,6 +49,9 @@ class GlobalOptions:
     # 'nonlinear' | 'lud' | 'linear_triplet'
     # (ref: PositionEstimatorType{NONLINEAR, LUD, LINEAR_TRIPLET})
     position_estimator: str = "nonlinear"
+    # 'robust_l1l2' | 'nonlinear' | 'linear'
+    # (ref: GlobalRotationEstimatorType{ROBUST_L1L2, NONLINEAR, LINEAR})
+    rotation_estimator: str = "robust_l1l2"
     refine_relative_translations: bool = True
     extract_maximal_rigid_subgraph: bool = False
     filter_relative_translations: bool = True
@@ -62,6 +65,10 @@ class GlobalOptions:
     # ref: subsample_tracks_for_bundle_adjustment option
     subsample_tracks_for_ba: bool = False
     track_subset_grid_cell_size: int = 100
+    # ref: track_subset_selection_long_track_length_threshold,
+    #      min_num_optimized_tracks_per_view
+    track_subset_long_track_length_threshold: int = 10
+    min_num_optimized_tracks_per_view: int = 100
     ba_loss: str = "softl1"
     ba_loss_scale_pixels: float = 2.0
     # optional f64 host polish after the final BA (off: measured no
@@ -89,8 +96,13 @@ def _run_ba(recon: Reconstruction, opts: GlobalOptions, polish=False):
         from .select_good_tracks import \
             select_good_tracks_for_bundle_adjustment
         track_subset = select_good_tracks_for_bundle_adjustment(
-            recon, image_grid_cell_size_pixels=opts
-            .track_subset_grid_cell_size)
+            recon,
+            long_track_length_threshold=opts
+            .track_subset_long_track_length_threshold,
+            image_grid_cell_size_pixels=opts
+            .track_subset_grid_cell_size,
+            min_num_optimized_tracks_per_view=opts
+            .min_num_optimized_tracks_per_view)
     prob, maps = recon.to_ba_problem(track_subset=track_subset)
     if prob.obs_pix.shape[0] == 0:
         return
@@ -214,9 +226,20 @@ def global_reconstruction(recon: Reconstruction, graph: ViewGraph,
     edges, rel_rot, rel_pos, weights = _graph_arrays(graph)
     e_idx = np.asarray([[vid_idx[a], vid_idx[b]] for a, b in edges])
     stage_timer.reset()
-    init = orientations_from_mst(len(vids), e_idx, rel_rot, weights)
-    orientations = robust_rotation_averaging(init, e_idx, rel_rot,
-                                             opts.rotation)
+    if opts.rotation_estimator == "linear":
+        from ..global_pose import linear_rotation_averaging
+        orientations = linear_rotation_averaging(len(vids), e_idx,
+                                                 rel_rot, weights)
+    else:
+        init = orientations_from_mst(len(vids), e_idx, rel_rot, weights)
+        if opts.rotation_estimator == "nonlinear":
+            from ..global_pose import nonlinear_rotation_averaging
+            orientations = nonlinear_rotation_averaging(init, e_idx,
+                                                        rel_rot)
+        else:  # robust_l1l2 (default)
+            orientations = robust_rotation_averaging(init, e_idx,
+                                                     rel_rot,
+                                                     opts.rotation)
     timings["rotation_estimation_time"] = stage_timer.elapsed_seconds()
 
     # 4. rotation filter + re-extract largest CC

@@ -37,6 +37,10 @@ class ReconstructionBuilderOptions:
     # ref: select_image_pairs_with_global_image_descriptor_matching
     select_image_pairs_with_global_descriptors: bool = False
     num_nearest_neighbors_for_global_descriptor_matching: int = 20
+    # ref: num_gmm_clusters_for_fisher_vector,
+    #      max_num_features_for_fisher_vector_training
+    num_gmm_clusters_for_fisher_vector: int = 16
+    max_num_features_for_fisher_vector_training: int = 100_000
     min_track_length: int = 2
     max_track_length: int = 50
     min_num_inlier_matches: int = 30
@@ -81,9 +85,12 @@ class ReconstructionBuilder:
 
     # -- front end ------------------------------------------------------
     def extract_and_match_features(self) -> int:
-        """SIFT per image + matching. Resumable through the DB
-        (ref feature_extractor_and_matcher.cc:294-296 ContainsFeatures
-        skip)."""
+        """SIFT over same-shape image batches + matching. Resumable
+        through the DB (ref feature_extractor_and_matcher.cc:294-296
+        ContainsFeatures skip)."""
+        from ..image.sift import extract_sift_batch
+
+        pending = []  # (name, gray)
         for name, path in sorted(self._image_paths.items()):
             if self.db.contains_features(name):
                 continue
@@ -95,20 +102,39 @@ class ReconstructionBuilder:
                 prior.image_height = gray.shape[0]
                 self._priors[name] = prior
                 self.db.put_intrinsics_prior(name, prior)
-            kps, desc, valid = extract_sift(gray, self.options.sift)
-            kps, desc = kps[valid], desc[valid]
-            logger.info("extracted %d features from %s", len(kps), name)
-            self.db.put_features(name, KeypointsAndDescriptors(
-                name, kps, desc))
+            pending.append((name, gray))
+
+        # batch same-shape images into single vmapped device calls
+        groups: Dict[tuple, list] = {}
+        for i, (name, gray) in enumerate(pending):
+            groups.setdefault(gray.shape, []).append(i)
+        budget = 32 * 1024 * 1024  # pixels per batch
+        for shape, idxs in groups.items():
+            per = max(1, budget // max(shape[0] * shape[1], 1))
+            for s in range(0, len(idxs), per):
+                chunk = idxs[s:s + per]
+                results = extract_sift_batch(
+                    [pending[i][1] for i in chunk], self.options.sift)
+                for i, (kps, desc, valid) in zip(chunk, results):
+                    name = pending[i][0]
+                    kps, desc = kps[valid], desc[valid]
+                    logger.info("extracted %d features from %s",
+                                len(kps), name)
+                    self.db.put_features(name, KeypointsAndDescriptors(
+                        name, kps, desc))
 
         # optional O(n*k) pair pruning via Fisher-vector kNN
         # (ref feature_extractor_and_matcher.cc:352-413)
         if self.options.select_image_pairs_with_global_descriptors:
             from ..matching.fisher_vector import (
-                FisherVectorExtractor,
+                FisherVectorExtractor, FisherVectorOptions,
                 select_image_pairs_from_global_descriptors)
             names = self.db.image_names_of_features()
-            fv = FisherVectorExtractor()
+            fv = FisherVectorExtractor(FisherVectorOptions(
+                num_gmm_clusters=self.options
+                .num_gmm_clusters_for_fisher_vector,
+                max_num_features_for_training=self.options
+                .max_num_features_for_fisher_vector_training))
             import numpy as _np
             all_desc = _np.concatenate(
                 [self.db.get_features(n).descriptors for n in names])
