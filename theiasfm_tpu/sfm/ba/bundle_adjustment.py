@@ -266,9 +266,20 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         return acc.reshape((E,) + x.shape[1:])
 
     if prob.cam_idx_map is not None:
+        # flat gather + block-summing matmul (same trick as seg_pt
+        # below): beats XLA's TPU scatter ~4x at 2M observations
+        cam_idx_flat = prob.cam_idx_map.reshape(-1)
+        cam_val_flat = prob.cam_idx_valid.reshape(-1)
+        Kc = prob.cam_idx_map.shape[1]
+
         def seg_cam(x):
-            return _gather_reduce(x, prob.cam_idx_map,
-                                  prob.cam_idx_valid)
+            xf = x.reshape(x.shape[0], -1)
+            F = xf.shape[1]
+            g = (xf[cam_idx_flat] *
+                 cam_val_flat[:, None].astype(x.dtype))
+            g = g.reshape(Nc, Kc * F)
+            S = jnp.tile(jnp.eye(F, dtype=x.dtype), (Kc, 1))
+            return (g @ S).reshape((Nc,) + x.shape[1:])
     elif prob.cam_sort_perm is not None:
         def seg_cam(x):
             return jax.ops.segment_sum(
@@ -291,6 +302,21 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         def seg_grp(x):
             return jax.ops.segment_sum(x, prob.obs_group,
                                        num_segments=Ng)
+
+    def grp_contract(spec, a, b, out_dtype=None):
+        """seg_grp(einsum(spec, a, b)) without the (M, ...) temporary
+        when Ng == 1: the observation axis folds into the contraction
+        (an (M, P, P) temp is tile-padded ~20x = 16GB at 2M obs)."""
+        out_dtype = out_dtype or dtype
+        lhs, out = spec.split("->")
+        if Ng == 1:
+            # _psum resolves late (defined below): completes the
+            # reduction across the mesh under shard_map
+            return _psum(jnp.einsum(
+                lhs + "->" + out[1:], a, b,
+                preferred_element_type=out_dtype)[None])
+        return seg_grp(jnp.einsum(spec, a, b,
+                                  preferred_element_type=out_dtype))
 
     # Point reductions: when the (Np, K) observation table exists and
     # its padding waste is bounded, gather rows and sum over K with a
@@ -375,11 +401,11 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         # (bf16 inputs here measured slightly SLOWER — the casts break
         # XLA's einsum+segment_sum fusion; keep f32)
         Hcc = seg_cam(jnp.einsum("mki,mkj->mij", Jc, Jc))  # (Nc,6,6)
-        Hgg = seg_grp(jnp.einsum("mki,mkj->mij", Ji, Ji))  # (Ng,P,P)
+        Hgg = grp_contract("mki,mkj->mij", Ji, Ji)         # (Ng,P,P)
 
         # gradient
         gc = seg_cam(jnp.einsum("mki,mk->mi", Jc, r))      # (Nc,6)
-        gg = seg_grp(jnp.einsum("mki,mk->mi", Ji, r))      # (Ng,P)
+        gg = grp_contract("mki,mk->mi", Ji, r)             # (Ng,P)
         gp = seg_pt(jnp.einsum("mki,mk->mi", Jp, r))       # (Np,3)
 
         # reduced RHS: b = -g_c + Hcp Hpp^-1 g_p  (for cam and group)
@@ -387,7 +413,7 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         yp_m = yp[prob.obs_pt]
         t = jnp.einsum("mkj,mj->mk", Jp, yp_m)             # (M,2)
         bc = -gc + seg_cam(jnp.einsum("mki,mk->mi", Jc, t))
-        bg = -gg + seg_grp(jnp.einsum("mki,mk->mi", Ji, t))
+        bg = -gg + grp_contract("mki,mk->mi", Ji, t)
 
         if opts.linear_solver == "dense_schur":
             dc, dg = _dense_schur_solve(
@@ -415,7 +441,7 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
                      zp[prob.obs_pt].astype(Jp_mv.dtype))
             d = (u - u2).astype(Jc_mv.dtype)
             yc = seg_cam(_ee("mki,mk->mi", Jc_mv, d))
-            yg = seg_grp(_ee("mki,mk->mi", Ji_mv, d))
+            yg = grp_contract("mki,mk->mi", Ji_mv, d)
             # damping on the camera/group diagonal
             yc = yc + lam * jnp.einsum(
                 "nij,nj->ni", _diagonal_only(Hcc), vc)
@@ -442,8 +468,9 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         Wg = _ee("mki,mkj->mij", Jp_mv, Ji_mv)                 # (M,3,P)
         HWg = _ee("mij,mjk->mik", Hpp_inv_m,
                   Wg.astype(Jc_mv.dtype))                      # (M,3,P)
-        Sgg_corr = seg_grp(_ee("mji,mjk->mik", Wg.astype(Jc_mv.dtype),
-                               HWg.astype(Jc_mv.dtype)))
+        Sgg_corr = grp_contract("mji,mjk->mik",
+                                Wg.astype(Jc_mv.dtype),
+                                HWg.astype(Jc_mv.dtype))
         Sgg = Hgg + lam * _diagonal_only(Hgg) - Sgg_corr + \
             1e-10 * jnp.eye(P, dtype=dtype)
         Pg_inv = jnp.linalg.inv(Sgg)
@@ -713,8 +740,9 @@ def add_point_obs_map(prob: BAProblem, bucket_min: int = 4) -> BAProblem:
     reductions (host-side; call before jit)."""
     Np = prob.points.shape[0]
     M = prob.obs_pt.shape[0]
-    idx_map, valid = _build_idx_map(np.asarray(prob.obs_pt), Np,
-                                    M - 1, bucket_min=bucket_min)
+    idx_map, valid = _build_idx_map(
+        np.asarray(prob.obs_pt), Np, M - 1, bucket_min=bucket_min,
+        obs_valid=np.asarray(prob.obs_mask))
     # padding slots must not contribute even though they index a real
     # observation: valid=False zeroes their blocks.
     return prob._replace(pt_idx_map=jnp.asarray(idx_map),
@@ -728,22 +756,30 @@ def add_point_obs_map(prob: BAProblem, bucket_min: int = 4) -> BAProblem:
 # discipline).
 
 def _build_idx_map(indices: np.ndarray, num_segments: int,
-                   pad_target: int, bucket_min: int = 4):
+                   pad_target: int, bucket_min: int = 4,
+                   obs_valid: Optional[np.ndarray] = None):
     """Host-side inverse map: for each segment, the (padded) list of
     observation indices. Padding slots point at `pad_target` (a masked
-    observation) with valid=False."""
+    observation) with valid=False. Masked observations (obs_valid
+    False, e.g. problem padding) are excluded — otherwise the segment
+    they all pad into inflates Kmax for every segment."""
     from ...utils import next_bucket
-    counts = np.bincount(indices, minlength=num_segments)
-    kmax = next_bucket(int(counts.max()) if len(counts) else 1,
+    if obs_valid is not None:
+        keep = np.flatnonzero(np.asarray(obs_valid))
+    else:
+        keep = np.arange(len(indices))
+    kept_idx = indices[keep]
+    counts = np.bincount(kept_idx, minlength=num_segments)
+    kmax = next_bucket(int(counts.max()) if counts.size else 1,
                        bucket_min)
-    order = np.argsort(indices, kind="stable")
+    order = np.argsort(kept_idx, kind="stable")
     idx_map = np.full((num_segments, kmax), pad_target, np.int32)
     valid = np.zeros((num_segments, kmax), bool)
     starts = np.zeros(num_segments + 1, np.int64)
     np.cumsum(counts, out=starts[1:])
-    sorted_idx = indices[order]
+    sorted_idx = kept_idx[order]
     ranks = np.arange(len(order)) - starts[sorted_idx]
-    idx_map[sorted_idx, ranks] = order
+    idx_map[sorted_idx, ranks] = keep[order]
     valid[sorted_idx, ranks] = True
     return idx_map, valid
 

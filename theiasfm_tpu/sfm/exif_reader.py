@@ -46,6 +46,11 @@ class ExifReader:
 
     def __init__(self, sensor_database_path: Optional[str] = None):
         self.sensors: Dict[str, float] = dict(_BUILTIN_SENSORS)
+        # external database (same line format as the public
+        # sensor-width databases / ref data/camera_sensor_database.txt);
+        # THEIASFM_SENSOR_DB env var supplies a default path
+        sensor_database_path = (sensor_database_path or
+                                os.environ.get("THEIASFM_SENSOR_DB"))
         if sensor_database_path and os.path.exists(sensor_database_path):
             self.load_sensor_database(sensor_database_path)
 
