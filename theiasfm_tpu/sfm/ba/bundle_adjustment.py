@@ -690,7 +690,7 @@ def _dense_schur_solve(prob: BAProblem, opts: BAOptions, Jc, Ji, Jp,
         return a_cc, a_cg, a_gg
 
     acc = jax.lax.fori_loop(0, nch, chunk_body, acc0)
-    corr_cc = _psum(acc[0]).reshape(Nc, Nc, 6, 6)
+    corr_cc_flat = _psum(acc[0])                          # (Nc*Nc, 36)
     corr_cg = _psum(acc[1]).reshape(Nc, Ng, 6, P)
     corr_gg = _psum(acc[2]).reshape(Ng, Ng, P, P)
 
@@ -699,18 +699,40 @@ def _dense_schur_solve(prob: BAProblem, opts: BAOptions, Jc, Ji, Jp,
         prob.obs_cam * Ng + prob.obs_group,
         num_segments=Nc * Ng).reshape(Nc, Ng, 6, P))
 
-    # assemble the dense system (6Nc+P*Ng square)
-    Acc = -corr_cc
+    # assemble the dense system (6Nc+P*Ng square).
+    # The damped block-diagonal folds into the FLAT pair accumulator
+    # (diag pair ids ci*Nc+ci), and the (Nc*Nc, 36) -> (6Nc, 6Nc)
+    # block un-flattening runs in camera-row chunks: one full
+    # (Nc, Nc, 6, 6) view would tile-pad (6,6)->(8,128), 19GB at 2152
+    # cameras.
     diag_c = Hcc + lam * _diagonal_only(Hcc)
-    Acc = Acc.at[jnp.arange(Nc), jnp.arange(Nc)].add(diag_c)
+    Acc_flat = (-corr_cc_flat).at[
+        jnp.arange(Nc) * (Nc + 1)].add(diag_c.reshape(Nc, 36))
     Agg = -corr_gg
     diag_g = Hgg + lam * _diagonal_only(Hgg)
     Agg = Agg.at[jnp.arange(Ng), jnp.arange(Ng)].add(diag_g)
     Acg = Hcg - corr_cg
 
     Dc, Dg = 6 * Nc, P * Ng
+    RC = min(128, Nc)
+    nrc = -(-Nc // RC)
+    pad_rc = nrc * RC - Nc
+    if pad_rc:
+        Acc_flat = jnp.pad(Acc_flat, ((0, pad_rc * Nc), (0, 0)))
+
+    def unflatten_rows(i, A):
+        blk = jax.lax.dynamic_slice_in_dim(Acc_flat, i * RC * Nc,
+                                           RC * Nc, 0)
+        blk = blk.reshape(RC, Nc, 6, 6).transpose(0, 2, 1, 3)
+        return jax.lax.dynamic_update_slice(
+            A, blk.reshape(RC * 6, Dc), (i * RC * 6, 0))
+
+    Acc2d = jax.lax.fori_loop(
+        0, nrc, unflatten_rows,
+        jnp.zeros((nrc * RC * 6, Dc), dtype))[:Dc]
+
     top = jnp.concatenate([
-        Acc.transpose(0, 2, 1, 3).reshape(Dc, Dc),
+        Acc2d,
         Acg.transpose(0, 2, 1, 3).reshape(Dc, Dg)], axis=1)
     bot = jnp.concatenate([
         Acg.transpose(1, 3, 0, 2).reshape(Dg, Dc),
