@@ -25,11 +25,14 @@ def main():
 
     from __graft_entry__ import _make_problem
     from theiasfm_tpu.sfm.ba import BAOptions, bundle_adjust
-    from theiasfm_tpu.sfm.ba.bundle_adjustment import add_point_obs_map
+    from theiasfm_tpu.sfm.ba.bundle_adjustment import (
+        add_cam_pair_tables, add_point_obs_map)
 
     prob = _make_problem(n_cams=550, n_pts=140_000, obs_per_pt=4,
                          dtype=jnp.float32)
     prob = add_point_obs_map(prob)
+    # static camera-pair gather tables: scatter-free dense-Schur assembly
+    prob = add_cam_pair_tables(prob)
 
     n_iters = 10
     # DENSE_SCHUR: explicit reduced camera system + Cholesky (exact

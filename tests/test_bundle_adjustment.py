@@ -204,6 +204,32 @@ def test_dense_schur_matches_pcg(rng):
                                np.asarray(out_pcg.extrinsics), atol=1e-4)
 
 
+def test_dense_schur_pair_tables_match(rng):
+    """The scatter-free camera-pair-table assembly must reproduce the
+    chunked-scatter dense-Schur assembly (same math, different op
+    ordering)."""
+    from theiasfm_tpu.sfm.ba.bundle_adjustment import (
+        add_cam_pair_tables, add_point_obs_map)
+    gt = make_ba_problem(rng, n_cams=6, n_pts=80, noise_pix=0.5)
+    noisy = perturb(gt, rng)
+    noisy = add_point_obs_map(noisy)
+    opts = BAOptions(max_iterations=8, linear_solver="dense_schur",
+                     function_tolerance=0.0)
+    out_old, s_old = bundle_adjust(noisy, opts)
+    # small caps + small max_entries exercise spill rows and class
+    # chunk-splitting
+    fast = add_cam_pair_tables(noisy, classes=(2, 8, 32),
+                               max_entries=256)
+    assert len(fast.cam_pair_tables) > 1
+    out_new, s_new = bundle_adjust(fast, opts)
+    np.testing.assert_allclose(float(s_new.final_cost),
+                               float(s_old.final_cost), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_new.extrinsics),
+                               np.asarray(out_old.extrinsics), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_new.points),
+                               np.asarray(out_old.points), atol=1e-5)
+
+
 def test_dense_schur_jit_and_padded(rng):
     from theiasfm_tpu.sfm.ba.bundle_adjustment import pad_ba_problem
     gt = make_ba_problem(rng, n_cams=5, n_pts=60)

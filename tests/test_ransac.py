@@ -47,7 +47,7 @@ def make_line_data(rng, n_inl=80, n_out=20, m=2.0, b=-1.0, noise=0.05):
     return jnp.asarray(data[perm]), perm
 
 
-@pytest.mark.parametrize("quality", ["inlier", "msac", "lmed"])
+@pytest.mark.parametrize("quality", ["inlier", "msac", "mle", "lmed"])
 def test_line_fit(quality, rng, key):
     data, _ = make_line_data(rng)
     opts = RansacOptions(error_thresh=0.1, num_hypotheses=128,

@@ -74,6 +74,14 @@ class BAProblem(NamedTuple):
     # iters/s at Notre-Dame scale) — experimental knob, off by default.
     cam_sort_perm: Optional[jnp.ndarray] = None   # (M,) int32
     obs_cam_sorted: Optional[jnp.ndarray] = None  # (M,) int32
+    # Camera-PAIR gather tables for the dense-Schur assembly
+    # (add_cam_pair_tables): tuple of (kidx, lidx, valid, ids) arrays,
+    # one per count class; kidx/lidx/valid are (P_c, cap) observation
+    # indices of per-point (k, l) observation pairs grouped by UNIQUE
+    # (cam_k, cam_l) pair, ids (P_c,) the flat cam_k*Nc+cam_l target.
+    # Turns the per-entry cam-pair scatter into gather + two MXU
+    # matmuls + one unique-block scatter-add per class.
+    cam_pair_tables: Optional[tuple] = None
     # (pt_idx_map/pt_idx_valid double as the fast path for the point
     # reductions: gather + K-sum beats XLA's TPU scatter 2.4-4.8x at 2M
     # observations, see seg_pt in bundle_adjust. A cumsum+boundary-diff
@@ -418,7 +426,7 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         if opts.linear_solver == "dense_schur":
             dc, dg = _dense_schur_solve(
                 prob, opts, Jc, Ji, Jp, Hpp_inv, Hcc, Hgg, bc, bg, lam,
-                _psum)
+                _psum, seg_pt)
             u = (jnp.einsum("mki,mi->mk", Jc, dc[prob.obs_cam]) +
                  jnp.einsum("mki,mi->mk", Ji, dg[prob.obs_group]))
             hp = seg_pt(jnp.einsum("mki,mk->mi", Jp, u))
@@ -456,21 +464,41 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         # the blocks only PREcondition, so assemble the big (M, ., .)
         # temporaries in the matvec dtype (bf16 when enabled) with f32
         # accumulation — the inverses stay full precision
-        Hpp_inv_m = Hpp_inv[prob.obs_pt].astype(Jc_mv.dtype)   # (M,3,3)
-        W = _ee("mki,mkj->mij", Jp_mv, Jc_mv)                  # (M,3,6)
-        HW = _ee("mij,mjk->mik", Hpp_inv_m,
-                 W.astype(Jc_mv.dtype))                        # (M,3,6)
-        Scc_corr = seg_cam(_ee("mji,mjk->mik", W.astype(Jc_mv.dtype),
-                               HW.astype(Jc_mv.dtype)))        # (Nc,6,6)
+        # per-obs small-matrix algebra in FLAT (M, F) layout via
+        # _flat_einsum: (M, i, j) einsum temporaries with small minor
+        # dims would tile-pad (8, 128), up to 28x HBM blowup at 10^6+
+        # observations.
+        M_ = Jc_mv.shape[0]
+        H9_mv = Hpp_inv.reshape(-1, 9)[prob.obs_pt].astype(Jc_mv.dtype)
+        U18_mv = _flat_einsum("ka,kc->ac", (2, 6), (2, 3),
+                              Jc_mv.reshape(M_, 12),
+                              Jp_mv.reshape(M_, 6))        # J_c^T J_p
+        T18_mv = _flat_einsum("ac,ce->ae", (6, 3), (3, 3),
+                              U18_mv, H9_mv)               # U Hpp^-1
+        D_m = _flat_einsum("ac,bc->ab", (6, 3), (6, 3), T18_mv,
+                           U18_mv, out_dtype=dtype)        # (M,36)
+        Scc_corr = seg_cam(D_m).reshape(Nc, 6, 6)
         Scc = Hcc + lam * _diagonal_only(Hcc) - Scc_corr + \
             1e-10 * jnp.eye(6, dtype=dtype)
         Pc_inv = jnp.linalg.inv(Scc)
-        Wg = _ee("mki,mkj->mij", Jp_mv, Ji_mv)                 # (M,3,P)
-        HWg = _ee("mij,mjk->mik", Hpp_inv_m,
-                  Wg.astype(Jc_mv.dtype))                      # (M,3,P)
-        Sgg_corr = grp_contract("mji,mjk->mik",
-                                Wg.astype(Jc_mv.dtype),
-                                HWg.astype(Jc_mv.dtype))
+        if Ng == 1:
+            Ug_mv = _flat_einsum("kp,kc->pc", (2, P), (2, 3),
+                                 Ji_mv.reshape(M_, 2 * P),
+                                 Jp_mv.reshape(M_, 6))     # (M,3P)
+            Tg_mv = _flat_einsum("pc,ce->pe", (P, 3), (3, 3),
+                                 Ug_mv, H9_mv)
+            G2 = jnp.dot(Tg_mv.T, Ug_mv,
+                         preferred_element_type=dtype)     # (3P,3P)
+            Sgg_corr = _psum(jnp.einsum(
+                "pcqc->pq", G2.reshape(P, 3, P, 3))[None])
+        else:
+            Hpp_inv_m = Hpp_inv[prob.obs_pt].astype(Jc_mv.dtype)
+            Wg = _ee("mki,mkj->mij", Jp_mv, Ji_mv)         # (M,3,P)
+            HWg = _ee("mij,mjk->mik", Hpp_inv_m,
+                      Wg.astype(Jc_mv.dtype))              # (M,3,P)
+            Sgg_corr = grp_contract("mji,mjk->mik",
+                                    Wg.astype(Jc_mv.dtype),
+                                    HWg.astype(Jc_mv.dtype))
         Sgg = Hgg + lam * _diagonal_only(Hgg) - Sgg_corr + \
             1e-10 * jnp.eye(P, dtype=dtype)
         Pg_inv = jnp.linalg.inv(Sgg)
@@ -586,8 +614,224 @@ def _diagonal_only(A):
     return A * jnp.eye(K, dtype=A.dtype)
 
 
+@functools.lru_cache(maxsize=None)
+def _flat_einsum_mats(spec: str, xs: tuple, ys: tuple):
+    """One-hot expansion/reduction matrices for per-row small-matrix
+    einsums on FLAT storage (see _flat_einsum). Returns NUMPY arrays —
+    device constants must be created per-trace (a cached jnp array
+    created inside a lax.while_loop body leaks its tracer)."""
+    import itertools
+    xterm, rest = spec.split(",")
+    yterm, oterm = rest.split("->")
+    sizes = {}
+    for t, sh in ((xterm, xs), (yterm, ys)):
+        assert len(t) == len(sh), (spec, xs, ys)
+        for ch, n in zip(t, sh):
+            sizes[ch] = int(n)
+    contracted = []
+    for ch in xterm + yterm:
+        if ch not in oterm and ch not in contracted:
+            contracted.append(ch)
+    combo = list(oterm) + contracted
+    csizes = [sizes[ch] for ch in combo]
+    osizes = [sizes[ch] for ch in oterm]
+    C = int(np.prod(csizes)) if csizes else 1
+    X, Y = int(np.prod(xs)), int(np.prod(ys))
+    O = int(np.prod(osizes)) if osizes else 1
+    EX = np.zeros((X, C), np.float32)
+    EY = np.zeros((Y, C), np.float32)
+    R = np.zeros((C, O), np.float32)
+    for ci, idx in enumerate(
+            itertools.product(*[range(s) for s in csizes])):
+        a = dict(zip(combo, idx))
+        xi = np.ravel_multi_index(tuple(a[ch] for ch in xterm), xs)
+        yi = np.ravel_multi_index(tuple(a[ch] for ch in yterm), ys)
+        oi = (np.ravel_multi_index(tuple(a[ch] for ch in oterm), osizes)
+              if oterm else 0)
+        EX[xi, ci] = 1
+        EY[yi, ci] = 1
+        R[ci, oi] = 1
+    return EX, EY, R
+
+
+def _flat_einsum(spec, xs, ys, x, y, out_dtype=None):
+    """Per-row einsum of small matrices stored FLAT: x is (M, prod(xs))
+    viewed as shape xs per row (row-major), same for y; returns
+    (M, prod(out)) flat.
+
+    Computed as (x @ EX) * (y @ EY) @ R with one-hot expansion matrices
+    — three MXU matmuls and one (M, C) temporary with C ~ 36..180,
+    instead of (M, i, j) einsum temporaries whose small minor dims XLA
+    tile-pads to (8, 128) (up to 28x HBM blowup at millions of rows).
+    `spec` uses single-char axes over the PER-ROW dims only, e.g.
+    "ka,kc->ac" for J_c^T J_p with xs=(2, 6), ys=(2, 3)."""
+    cd = x.dtype
+    EX, EY, R = _flat_einsum_mats(spec, tuple(int(s) for s in xs),
+                                  tuple(int(s) for s in ys))
+    g = (jnp.dot(x, jnp.asarray(EX, cd), preferred_element_type=cd) *
+         jnp.dot(y.astype(cd), jnp.asarray(EY, cd),
+                 preferred_element_type=cd))
+    return jnp.dot(g, jnp.asarray(R, cd),
+                   preferred_element_type=out_dtype or cd)
+
+
+def _pair_expand_mats(dtype):
+    """Expansion matrices for the camera-pair block product
+    out[6a+b] = sum_c T[3a+c] * U[3b+c] (see _flat_einsum)."""
+    EX, EY, R = _flat_einsum_mats("ac,bc->ab", (6, 3), (6, 3))
+    return (jnp.asarray(EX, dtype), jnp.asarray(EY, dtype),
+            jnp.asarray(R, dtype))
+
+
+def _dense_schur_corr_fast(prob: BAProblem, Jc, Ji, Jp, Hpp_inv, seg_pt,
+                           dtype):
+    """Schur correction blocks via the static camera-pair tables
+    (Ng == 1 fast path; see add_cam_pair_tables).
+
+    Returns LOCAL (un-psum'ed) corr_cc_flat (Nc*Nc, 36),
+    corr_cg (Nc, 1, 6, P), corr_gg (1, 1, P, P).
+
+    The per-entry (k, l) pair products are computed as flat-row gathers
+    + one-hot expansion matmuls + a block-summing matmul — no
+    (CH, K, K, 6, 6) tile-padded temporaries, and the only scatter left
+    is one .at[ids].add of already-reduced UNIQUE camera-pair blocks
+    per count class.
+    """
+    Nc = prob.extrinsics.shape[0]
+    P = prob.intrinsics.shape[1]
+    M = prob.obs_cam.shape[0]
+    # everything per-observation lives in FLAT (M, F) layout; the small
+    # per-row matrix products are _flat_einsum expansion matmuls
+    Jc12 = Jc.reshape(M, 12)                               # (2,6) rows
+    Ji2P = Ji.reshape(M, 2 * P)                            # (2,P)
+    Jp6 = Jp.reshape(M, 6)                                 # (2,3)
+    H9_m = Hpp_inv.reshape(-1, 9)[prob.obs_pt]             # (3,3) rows
+    U18 = _flat_einsum("ka,kc->ac", (2, 6), (2, 3), Jc12, Jp6,
+                       out_dtype=dtype)                    # J_c^T J_p
+    T18 = _flat_einsum("ac,ce->ae", (6, 3), (3, 3), U18, H9_m,
+                       out_dtype=dtype)                    # U Hpp^-1
+    EA, EB, S = _pair_expand_mats(dtype)
+
+    acc = jnp.zeros((Nc * Nc, 36), dtype)
+    for kidx, lidx, vmask, ids in prob.cam_pair_tables:
+        Pc, cap = kidx.shape
+        Tk = T18[kidx.reshape(-1)] @ EA                    # (Pc*cap,108)
+        Ul = U18[lidx.reshape(-1)] @ EB
+        g = Tk * Ul * vmask.reshape(-1, 1).astype(dtype)
+        # reduce over the cap entries AND the c index in one matmul
+        Sbig = jnp.tile(S, (cap, 1))                       # (cap*108,36)
+        acc = acc.at[ids].add(
+            jnp.dot(g.reshape(Pc, cap * 108), Sbig,
+                    preferred_element_type=dtype))
+    # ---- group-coupled corrections (single shared intrinsics group):
+    # corr_cg[cam(k)] += T_k (sum_l Ug_l)^T ; corr_gg = sum_n GT_n GU_n^T
+    Ug3P = _flat_einsum("kp,kc->pc", (2, P), (2, 3), Ji2P, Jp6,
+                        out_dtype=dtype)                   # (M,3P)
+    Tg3P = _flat_einsum("pc,ce->pe", (P, 3), (3, 3), Ug3P, H9_m,
+                        out_dtype=dtype)
+    GU = seg_pt(Ug3P)                                      # (Np,3P)
+    GT = seg_pt(Tg3P)
+    # corr_gg[p,q] = sum_n sum_c GT[n,3p+c] GU[n,3q+c]: one (3P,3P)
+    # contraction over points, then a diagonal extraction
+    G2 = jnp.dot(GT.T, GU, preferred_element_type=dtype)   # (3P,3P)
+    corr_gg = jnp.einsum("pcqc->pq",
+                         G2.reshape(P, 3, P, 3))[None, None]
+    CmP = _flat_einsum("ac,pc->ap", (6, 3), (P, 3), T18,
+                       GU[prob.obs_pt], out_dtype=dtype)   # (M,6P)
+    corr_cg = jax.ops.segment_sum(
+        CmP, prob.obs_cam, num_segments=Nc).reshape(Nc, 1, 6, P)
+    return acc, corr_cg, corr_gg
+
+
+def build_cam_pair_tables(obs_cam, pt_idx_map, pt_idx_valid, n_cams,
+                          classes=(4, 16, 64, 256, 1024),
+                          max_entries=1 << 20):
+    """Host-side static analysis for the dense-Schur assembly: enumerate
+    every per-point observation pair (k, l), group by UNIQUE
+    (cam_k, cam_l) pair, bucket unique pairs into count classes, and lay
+    each class out as dense (P_c, cap) gather tables.
+
+    Pairs with more entries than the largest cap spill across multiple
+    rows with the same destination id (the scatter-add merges them);
+    classes bigger than `max_entries` total slots are split into chunks
+    so no single device temporary exceeds ~max_entries*432B.
+    """
+    idx = np.asarray(pt_idx_map)
+    val = np.asarray(pt_idx_valid)
+    Np, K = idx.shape
+    cam = np.asarray(obs_cam)[idx]
+    k_e = np.broadcast_to(idx[:, :, None], (Np, K, K))
+    l_e = np.broadcast_to(idx[:, None, :], (Np, K, K))
+    v_e = val[:, :, None] & val[:, None, :]
+    pid = cam[:, :, None].astype(np.int64) * n_cams + cam[:, None, :]
+    k_e, l_e, pid = k_e[v_e], l_e[v_e], pid[v_e]
+    order = np.argsort(pid, kind="stable")
+    k_e, l_e, pid = k_e[order], l_e[order], pid[order]
+    uids, starts, counts = np.unique(pid, return_index=True,
+                                     return_counts=True)
+    E, U = len(pid), len(uids)
+    caps = np.asarray(classes)
+    capmax = classes[-1]
+    cls = np.searchsorted(caps, np.minimum(counts, capmax))
+    cap_u = caps[cls]
+    nrows_u = -(-counts // cap_u)
+    u_of_e = np.repeat(np.arange(U), counts)
+    rank = np.arange(E) - np.repeat(starts, counts)
+    tables = []
+    for ci, cap in enumerate(classes):
+        sel_u = np.flatnonzero(cls == ci)
+        if len(sel_u) == 0:
+            continue
+        nrows = nrows_u[sel_u]
+        row_base = np.zeros(len(sel_u), np.int64)
+        np.cumsum(nrows[:-1], out=row_base[1:])
+        P_c = int(nrows.sum())
+        e_idx = np.flatnonzero(cls[u_of_e] == ci)
+        lu = np.searchsorted(sel_u, u_of_e[e_idx])
+        r = rank[e_idx]
+        row = row_base[lu] + r // cap
+        col = r % cap
+        kk = np.zeros((P_c, cap), np.int32)
+        ll = np.zeros((P_c, cap), np.int32)
+        vv = np.zeros((P_c, cap), bool)
+        kk[row, col] = k_e[e_idx]
+        ll[row, col] = l_e[e_idx]
+        vv[row, col] = True
+        # per-row destination ids (rows of a spilled pair repeat the id;
+        # ids are sorted ascending, so forward-fill by running max)
+        rid = np.zeros(P_c, np.int64)
+        rid[row_base] = uids[sel_u]
+        filled = np.zeros(P_c, bool)
+        filled[row_base] = True
+        np.maximum.accumulate(np.where(filled, rid, 0), out=rid)
+        rows_per_chunk = max(1, max_entries // cap)
+        for s in range(0, P_c, rows_per_chunk):
+            e = min(s + rows_per_chunk, P_c)
+            tables.append((jnp.asarray(kk[s:e]), jnp.asarray(ll[s:e]),
+                           jnp.asarray(vv[s:e]),
+                           jnp.asarray(rid[s:e].astype(np.int32))))
+    return tuple(tables)
+
+
+def add_cam_pair_tables(prob: BAProblem,
+                        classes=(4, 16, 64, 256, 1024),
+                        max_entries=1 << 20) -> BAProblem:
+    """Attach the camera-pair gather tables that switch dense-Schur
+    assembly to the scatter-free fast path (host-side; call after
+    add_point_obs_map / pad_ba_problem)."""
+    if prob.pt_idx_map is None:
+        raise ValueError("add_cam_pair_tables requires pt_idx_map — "
+                         "call add_point_obs_map first")
+    tables = build_cam_pair_tables(
+        prob.obs_cam, prob.pt_idx_map, prob.pt_idx_valid,
+        prob.extrinsics.shape[0], classes=classes,
+        max_entries=max_entries)
+    return prob._replace(cam_pair_tables=tables)
+
+
 def _dense_schur_solve(prob: BAProblem, opts: BAOptions, Jc, Ji, Jp,
-                       Hpp_inv, Hcc, Hgg, bc, bg, lam, _psum):
+                       Hpp_inv, Hcc, Hgg, bc, bg, lam, _psum,
+                       seg_pt=None):
     """Materialize the reduced camera system and factorize it.
 
     S = [Hcc  Hcg] - [Hcp] Hpp^-1 [Hpc Hpg],  solve S [dc; dg] = [bc; bg]
@@ -621,6 +865,18 @@ def _dense_schur_solve(prob: BAProblem, opts: BAOptions, Jc, Ji, Jp,
 
     idx = prob.pt_idx_map                                  # (Np, K)
     K = idx.shape[1]
+
+    if (prob.cam_pair_tables is not None and Ng == 1 and
+            seg_pt is not None):
+        # scatter-free assembly via static camera-pair gather tables
+        acc_cc, corr_cg, corr_gg = _dense_schur_corr_fast(
+            prob, Jc, Ji, Jp, Hpp_inv, seg_pt, dtype)
+        corr_cc_flat = _psum(acc_cc)
+        corr_cg = _psum(corr_cg)
+        corr_gg = _psum(corr_gg)
+        return _dense_schur_factor_solve(
+            prob, opts, Jc, Ji, Hcc, Hgg, bc, bg, lam, _psum,
+            corr_cc_flat, corr_cg, corr_gg)
 
     # per-obs camera-point and group-point coupling blocks
     U = jnp.einsum("mka,mkb->mab", Jc, Jp)                 # (M,6,3)
@@ -693,6 +949,20 @@ def _dense_schur_solve(prob: BAProblem, opts: BAOptions, Jc, Ji, Jp,
     corr_cc_flat = _psum(acc[0])                          # (Nc*Nc, 36)
     corr_cg = _psum(acc[1]).reshape(Nc, Ng, 6, P)
     corr_gg = _psum(acc[2]).reshape(Ng, Ng, P, P)
+    return _dense_schur_factor_solve(
+        prob, opts, Jc, Ji, Hcc, Hgg, bc, bg, lam, _psum,
+        corr_cc_flat, corr_cg, corr_gg)
+
+
+def _dense_schur_factor_solve(prob: BAProblem, opts: BAOptions, Jc, Ji,
+                              Hcc, Hgg, bc, bg, lam, _psum,
+                              corr_cc_flat, corr_cg, corr_gg):
+    """Assemble the damped reduced camera system from the correction
+    blocks and solve it with a Cholesky factorization (shared tail of
+    both dense-Schur assembly paths)."""
+    Nc = prob.extrinsics.shape[0]
+    Ng, P = prob.intrinsics.shape
+    dtype = prob.points.dtype
 
     Hcg = _psum(jax.ops.segment_sum(
         jnp.einsum("mka,mkb->mab", Jc, Ji),

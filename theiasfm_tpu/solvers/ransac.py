@@ -15,7 +15,8 @@ adaptive-termination math is kept, but inverted: it *reports* the
 confidence achieved by the static hypothesis budget instead of gating a
 loop (RansacSummary mirrors ref RansacSummary fields).
 
-Quality measures: 'inlier' (InlierSupport), 'msac' (truncated quadratic,
+Quality measures: 'inlier' (InlierSupport), 'mle'
+(MLEQualityMeasurement), 'msac' (truncated quadratic,
 the MLE-style score), 'lmed' (least median of squares) — ref
 quality_measurement.h variants.
 
@@ -42,7 +43,7 @@ class RansacOptions:
     """
     error_thresh: float  # threshold on the *squared* residual, like ref
     num_hypotheses: int = 512
-    quality: str = "inlier"          # 'inlier' | 'msac' | 'lmed'
+    quality: str = "inlier"          # 'inlier'|'msac'|'mle'|'lmed'
     sampler: str = "random"          # 'random' | 'prosac' | 'exhaustive'
     failure_probability: float = 0.01
     model_chunk: int = 128           # score this many models at a time
@@ -143,6 +144,15 @@ def _score_models(residual_fn, models, models_valid, data, data_mask,
             score = n_inl.astype(r.dtype)
         elif options.quality == "msac":
             score = -jnp.sum(jnp.minimum(r, thresh), axis=-1)
+        elif options.quality == "mle":
+            # ref MLEQualityMeasurement (solvers/mle_quality_measurement.h):
+            # cost = sum of per-datum negative log-likelihoods under an
+            # inlier Gaussian + uniform outlier mixture; here the standard
+            # truncated form exp(-r/(2*sigma^2)) with sigma tied to the
+            # threshold, accumulated in log space.
+            sigma2 = (thresh / 3.0) ** 2
+            lik = jnp.exp(-jnp.minimum(r, thresh) / (2.0 * sigma2))
+            score = jnp.sum(jnp.log(lik + 1e-12), axis=-1)
         elif options.quality == "lmed":
             if data_mask is not None:
                 # median over valid data only: replace invalid with +inf and
