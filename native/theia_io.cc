@@ -59,7 +59,14 @@ struct Cursor {
     return v;
   }
   void F64N(double* out, size_t n) {
-    std::memcpy(out, Raw(8 * n), 8 * n);
+    if (pos + 8 * n > size) {
+      ok = false;
+      pos = size;
+      std::memset(out, 0, 8 * n);
+      return;
+    }
+    std::memcpy(out, data + pos, 8 * n);
+    pos += 8 * n;
   }
   bool Bool() { return U8() != 0; }
   std::string Str() {
@@ -85,7 +92,9 @@ struct Cursor {
   // column-major scalars.
   void EigenF64(double* out, size_t cap) {
     int32_t rows = I32(), cols = I32();
+    if (rows < 0 || cols < 0) { ok = false; return; }
     size_t n = static_cast<size_t>(rows) * cols;
+    if (pos + 8 * n > size) { ok = false; pos = size; return; }
     for (size_t i = 0; i < n; ++i) {
       double v = F64();
       if (i < cap) out[i] = v;  // vectors only in this format
@@ -263,6 +272,10 @@ void ReadPolyIntrinsics(Cursor& c, PtrTable& ptrs, int32_t* model,
   c.Version(name);                      // derived class version
   c.Version("CameraIntrinsicsModel");   // base class version
   uint64_t nvec = c.U64();
+  if (nvec > 64) {  // intrinsics vectors are <= 10; reject corrupt sizes
+    c.ok = false;
+    return;
+  }
   std::vector<double> params(nvec);
   c.F64N(params.data(), nvec);
   for (size_t i = 0; i < nvec && i < kMaxIntr; ++i) intr[i] = params[i];
@@ -299,6 +312,10 @@ void* theia_read(const char* path) {
   std::fseek(f, 0, SEEK_END);
   long len = std::ftell(f);
   std::fseek(f, 0, SEEK_SET);
+  if (len <= 0) {
+    std::fclose(f);
+    return nullptr;
+  }
   std::vector<uint8_t> buf(len);
   if (std::fread(buf.data(), 1, len, f) != static_cast<size_t>(len)) {
     std::fclose(f);
@@ -355,7 +372,7 @@ void* theia_read(const char* path) {
     c.Version("Track");
     t.estimated = c.Bool() ? 1 : 0;
     uint64_t n_tv = c.U64();
-    for (uint64_t k = 0; k < n_tv; ++k) c.U32();
+    for (uint64_t k = 0; k < n_tv && c.ok; ++k) c.U32();
     c.EigenF64(t.point, 4);
     c.EigenU8(t.color, 3);
     r->tracks.push_back(t);

@@ -32,6 +32,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
+    if os.environ.get("THEIA_TPU_DISABLE_NATIVE"):
+        return None
     so = os.path.join(_repo_root(), "native", "libhost_ops.so")
     if not os.path.exists(so):
         try:
