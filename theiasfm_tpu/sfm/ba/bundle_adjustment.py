@@ -75,13 +75,19 @@ class BAProblem(NamedTuple):
     cam_sort_perm: Optional[jnp.ndarray] = None   # (M,) int32
     obs_cam_sorted: Optional[jnp.ndarray] = None  # (M,) int32
     # Camera-PAIR gather tables for the dense-Schur assembly
-    # (add_cam_pair_tables): tuple of (kidx, lidx, valid, ids) arrays,
-    # one per count class; kidx/lidx/valid are (P_c, cap) observation
-    # indices of per-point (k, l) observation pairs grouped by UNIQUE
-    # (cam_k, cam_l) pair, ids (P_c,) the flat cam_k*Nc+cam_l target.
-    # Turns the per-entry cam-pair scatter into gather + two MXU
-    # matmuls + one unique-block scatter-add per class.
+    # (add_cam_pair_tables): tuple of (kidx, lidx, valid) arrays, one
+    # per count class; (P_c, cap) observation indices of per-point
+    # STRICT upper (k < l) observation pairs grouped by ordered
+    # (cam_k, cam_l) pair. The lower triangle is recovered by symmetry
+    # (S correction blocks satisfy B(j,i) = B(i,j)^T) and the diagonal
+    # by a per-camera segment reduction, so the assembly is completely
+    # scatter-free: class results are concatenated and REDISTRIBUTED
+    # into the (Nc*Nc, 36) layout with the two permutation GATHERS
+    # below (XLA's TPU scatter measured ~1.15us/row — 347ms at bench
+    # scale; the gather replacement is ~5ms).
     cam_pair_tables: Optional[tuple] = None
+    cam_pair_perm_fwd: Optional[jnp.ndarray] = None  # (Nc*Nc, Rf) int32
+    cam_pair_perm_rev: Optional[jnp.ndarray] = None  # (Nc*Nc, Rr) int32
     # (pt_idx_map/pt_idx_valid double as the fast path for the point
     # reductions: gather + K-sum beats XLA's TPU scatter 2.4-4.8x at 2M
     # observations, see seg_pt in bundle_adjust. A cumsum+boundary-diff
@@ -359,6 +365,7 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
     # is replicated, so their reductions and every scalar reduction are
     # completed with a psum over the mesh axis; point-block reductions
     # stay device-local by construction.
+    seg_cam_local = seg_cam
     if opts.axis_name is not None:
         _psum = functools.partial(jax.lax.psum,
                                   axis_name=opts.axis_name)
@@ -426,7 +433,7 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         if opts.linear_solver == "dense_schur":
             dc, dg = _dense_schur_solve(
                 prob, opts, Jc, Ji, Jp, Hpp_inv, Hcc, Hgg, bc, bg, lam,
-                _psum, seg_pt)
+                _psum, seg_pt, seg_cam_local)
             u = (jnp.einsum("mki,mi->mk", Jc, dc[prob.obs_cam]) +
                  jnp.einsum("mki,mi->mk", Ji, dg[prob.obs_group]))
             hp = seg_pt(jnp.einsum("mki,mk->mi", Jp, u))
@@ -683,19 +690,22 @@ def _pair_expand_mats(dtype):
             jnp.asarray(R, dtype))
 
 
+_TRANS36 = np.arange(36).reshape(6, 6).T.reshape(-1)  # 6a+b <-> 6b+a
+
+
 def _dense_schur_corr_fast(prob: BAProblem, Jc, Ji, Jp, Hpp_inv, seg_pt,
-                           dtype):
+                           seg_cam_local, dtype):
     """Schur correction blocks via the static camera-pair tables
     (Ng == 1 fast path; see add_cam_pair_tables).
 
     Returns LOCAL (un-psum'ed) corr_cc_flat (Nc*Nc, 36),
     corr_cg (Nc, 1, 6, P), corr_gg (1, 1, P, P).
 
-    The per-entry (k, l) pair products are computed as flat-row gathers
-    + one-hot expansion matmuls + a block-summing matmul — no
-    (CH, K, K, 6, 6) tile-padded temporaries, and the only scatter left
-    is one .at[ids].add of already-reduced UNIQUE camera-pair blocks
-    per count class.
+    Strict upper (k < l) pair products are computed as flat-row gathers
+    + one-hot expansion matmuls + a block-summing matmul; the diagonal
+    is a per-camera segment reduction of the per-obs blocks; the lower
+    triangle comes from symmetry. The class results are redistributed
+    into (Nc*Nc, 36) by two permutation GATHERS — zero scatters.
     """
     Nc = prob.extrinsics.shape[0]
     P = prob.intrinsics.shape[1]
@@ -712,17 +722,30 @@ def _dense_schur_corr_fast(prob: BAProblem, Jc, Ji, Jp, Hpp_inv, seg_pt,
                        out_dtype=dtype)                    # U Hpp^-1
     EA, EB, S = _pair_expand_mats(dtype)
 
-    acc = jnp.zeros((Nc * Nc, 36), dtype)
-    for kidx, lidx, vmask, ids in prob.cam_pair_tables:
+    outs = []
+    for kidx, lidx, vmask in prob.cam_pair_tables:
         Pc, cap = kidx.shape
         Tk = T18[kidx.reshape(-1)] @ EA                    # (Pc*cap,108)
         Ul = U18[lidx.reshape(-1)] @ EB
         g = Tk * Ul * vmask.reshape(-1, 1).astype(dtype)
         # reduce over the cap entries AND the c index in one matmul
         Sbig = jnp.tile(S, (cap, 1))                       # (cap*108,36)
-        acc = acc.at[ids].add(
-            jnp.dot(g.reshape(Pc, cap * 108), Sbig,
-                    preferred_element_type=dtype))
+        outs.append(jnp.dot(g.reshape(Pc, cap * 108), Sbig,
+                            preferred_element_type=dtype))
+    # diagonal blocks: per-obs T_m U_m^T (the k == l entries), reduced
+    # per camera — appended to the row pool in builder row order
+    D36 = _flat_einsum("ac,bc->ab", (6, 3), (6, 3), T18, U18,
+                       out_dtype=dtype)                    # (M,36)
+    outs.append(seg_cam_local(D36).reshape(Nc, 36))
+    outs.append(jnp.zeros((1, 36), dtype))                 # pad target
+    out_cat = jnp.concatenate(outs, axis=0)
+    acc = out_cat[prob.cam_pair_perm_fwd[:, 0]]
+    for s in range(1, prob.cam_pair_perm_fwd.shape[1]):
+        acc = acc + out_cat[prob.cam_pair_perm_fwd[:, s]]
+    rev = out_cat[prob.cam_pair_perm_rev[:, 0]]
+    for s in range(1, prob.cam_pair_perm_rev.shape[1]):
+        rev = rev + out_cat[prob.cam_pair_perm_rev[:, s]]
+    acc = acc + rev[:, _TRANS36]
     # ---- group-coupled corrections (single shared intrinsics group):
     # corr_cg[cam(k)] += T_k (sum_l Ug_l)^T ; corr_gg = sum_n GT_n GU_n^T
     Ug3P = _flat_einsum("kp,kc->pc", (2, P), (2, 3), Ji2P, Jp6,
@@ -738,32 +761,42 @@ def _dense_schur_corr_fast(prob: BAProblem, Jc, Ji, Jp, Hpp_inv, seg_pt,
                          G2.reshape(P, 3, P, 3))[None, None]
     CmP = _flat_einsum("ac,pc->ap", (6, 3), (P, 3), T18,
                        GU[prob.obs_pt], out_dtype=dtype)   # (M,6P)
-    corr_cg = jax.ops.segment_sum(
-        CmP, prob.obs_cam, num_segments=Nc).reshape(Nc, 1, 6, P)
+    corr_cg = seg_cam_local(CmP).reshape(Nc, 1, 6, P)
     return acc, corr_cg, corr_gg
 
 
 def build_cam_pair_tables(obs_cam, pt_idx_map, pt_idx_valid, n_cams,
                           classes=(4, 16, 64, 256, 1024),
                           max_entries=1 << 20):
-    """Host-side static analysis for the dense-Schur assembly: enumerate
-    every per-point observation pair (k, l), group by UNIQUE
-    (cam_k, cam_l) pair, bucket unique pairs into count classes, and lay
-    each class out as dense (P_c, cap) gather tables.
+    """Host-side static analysis for the dense-Schur assembly.
 
-    Pairs with more entries than the largest cap spill across multiple
-    rows with the same destination id (the scatter-add merges them);
-    classes bigger than `max_entries` total slots are split into chunks
-    so no single device temporary exceeds ~max_entries*432B.
+    Enumerates the STRICT upper (k < l) per-point observation pairs,
+    groups them by ordered (cam_k, cam_l) pair, buckets groups into
+    count classes laid out as dense (P_c, cap) gather tables (classes
+    bigger than `max_entries` slots split into chunks so no device
+    temporary exceeds ~max_entries*432B; groups over the largest cap
+    spill across rows). The k == l entries are exactly the per-obs
+    diagonal blocks — covered by a per-camera segment reduction row
+    block that the device code appends after the table rows — and the
+    lower triangle is the transpose of the upper by the symmetry of the
+    Schur correction.
+
+    Returns (tables, perm_fwd, perm_rev): tables is a tuple of
+    (kidx, lidx, valid) arrays; perm_fwd/perm_rev are (Nc*Nc, R) int32
+    row indices into [table rows | Nc diagonal rows | 1 zero row] such
+    that corr_flat = sum_r pool[perm_fwd[:, r]]
+                   + (sum_r pool[perm_rev[:, r]])[:, transpose36].
     """
     idx = np.asarray(pt_idx_map)
     val = np.asarray(pt_idx_valid)
     Np, K = idx.shape
     cam = np.asarray(obs_cam)[idx]
-    k_e = np.broadcast_to(idx[:, :, None], (Np, K, K))
-    l_e = np.broadcast_to(idx[:, None, :], (Np, K, K))
-    v_e = val[:, :, None] & val[:, None, :]
-    pid = cam[:, :, None].astype(np.int64) * n_cams + cam[:, None, :]
+    iu, ju = np.triu_indices(K, k=1)
+    k_e = idx[:, iu].reshape(-1)
+    l_e = idx[:, ju].reshape(-1)
+    v_e = (val[:, iu] & val[:, ju]).reshape(-1)
+    pid = (cam[:, iu].astype(np.int64) * n_cams +
+           cam[:, ju]).reshape(-1)
     k_e, l_e, pid = k_e[v_e], l_e[v_e], pid[v_e]
     order = np.argsort(pid, kind="stable")
     k_e, l_e, pid = k_e[order], l_e[order], pid[order]
@@ -772,12 +805,14 @@ def build_cam_pair_tables(obs_cam, pt_idx_map, pt_idx_valid, n_cams,
     E, U = len(pid), len(uids)
     caps = np.asarray(classes)
     capmax = classes[-1]
-    cls = np.searchsorted(caps, np.minimum(counts, capmax))
+    cls = np.searchsorted(caps, np.minimum(np.maximum(counts, 1),
+                                           capmax))
     cap_u = caps[cls]
     nrows_u = -(-counts // cap_u)
     u_of_e = np.repeat(np.arange(U), counts)
     rank = np.arange(E) - np.repeat(starts, counts)
     tables = []
+    row_ids = []  # ordered-pair id of every produced table row
     for ci, cap in enumerate(classes):
         sel_u = np.flatnonzero(cls == ci)
         if len(sel_u) == 0:
@@ -797,8 +832,8 @@ def build_cam_pair_tables(obs_cam, pt_idx_map, pt_idx_valid, n_cams,
         kk[row, col] = k_e[e_idx]
         ll[row, col] = l_e[e_idx]
         vv[row, col] = True
-        # per-row destination ids (rows of a spilled pair repeat the id;
-        # ids are sorted ascending, so forward-fill by running max)
+        # per-row pair ids (spilled groups repeat the id; ids sorted
+        # ascending within the class, so forward-fill by running max)
         rid = np.zeros(P_c, np.int64)
         rid[row_base] = uids[sel_u]
         filled = np.zeros(P_c, bool)
@@ -808,30 +843,61 @@ def build_cam_pair_tables(obs_cam, pt_idx_map, pt_idx_valid, n_cams,
         for s in range(0, P_c, rows_per_chunk):
             e = min(s + rows_per_chunk, P_c)
             tables.append((jnp.asarray(kk[s:e]), jnp.asarray(ll[s:e]),
-                           jnp.asarray(vv[s:e]),
-                           jnp.asarray(rid[s:e].astype(np.int32))))
-    return tuple(tables)
+                           jnp.asarray(vv[s:e])))
+            row_ids.append(rid[s:e])
+    n_table_rows = int(sum(len(r) for r in row_ids))
+    zero_row = n_table_rows + n_cams
+    # forward targets: table rows at their ordered-pair id, then the Nc
+    # diagonal segment rows at ids i*Nc+i
+    diag_ids = (np.arange(n_cams, dtype=np.int64) * (n_cams + 1))
+    fwd_ids = np.concatenate([np.concatenate(row_ids)
+                              if row_ids else np.zeros(0, np.int64),
+                              diag_ids])
+    perm_fwd, _ = _build_idx_map(fwd_ids.astype(np.int64),
+                                 n_cams * n_cams, zero_row,
+                                 bucket_min=1)
+    # reverse targets (transpose): table rows only, at (b*Nc + a)
+    tab_ids = fwd_ids[:n_table_rows]
+    rev_ids = (tab_ids % n_cams) * n_cams + tab_ids // n_cams
+    perm_rev, _ = _build_idx_map(rev_ids.astype(np.int64),
+                                 n_cams * n_cams, zero_row,
+                                 bucket_min=1)
+    return (tuple(tables), jnp.asarray(perm_fwd),
+            jnp.asarray(perm_rev))
 
 
 def add_cam_pair_tables(prob: BAProblem,
                         classes=(4, 16, 64, 256, 1024),
-                        max_entries=1 << 20) -> BAProblem:
+                        max_entries=1 << 20,
+                        build_cam_maps=True) -> BAProblem:
     """Attach the camera-pair gather tables that switch dense-Schur
     assembly to the scatter-free fast path (host-side; call after
-    add_point_obs_map / pad_ba_problem)."""
+    add_point_obs_map / pad_ba_problem). build_cam_maps also attaches
+    the per-camera observation tables so every camera segment
+    reduction (incl. the diagonal blocks here) is gather-based."""
     if prob.pt_idx_map is None:
         raise ValueError("add_cam_pair_tables requires pt_idx_map — "
                          "call add_point_obs_map first")
-    tables = build_cam_pair_tables(
+    tables, perm_fwd, perm_rev = build_cam_pair_tables(
         prob.obs_cam, prob.pt_idx_map, prob.pt_idx_valid,
         prob.extrinsics.shape[0], classes=classes,
         max_entries=max_entries)
-    return prob._replace(cam_pair_tables=tables)
+    out = prob._replace(cam_pair_tables=tables,
+                        cam_pair_perm_fwd=perm_fwd,
+                        cam_pair_perm_rev=perm_rev)
+    if build_cam_maps and prob.cam_idx_map is None:
+        M = prob.obs_cam.shape[0]
+        cm_, cv_ = _build_idx_map(
+            np.asarray(prob.obs_cam), prob.extrinsics.shape[0], M - 1,
+            obs_valid=np.asarray(prob.obs_mask))
+        out = out._replace(cam_idx_map=jnp.asarray(cm_),
+                           cam_idx_valid=jnp.asarray(cv_))
+    return out
 
 
 def _dense_schur_solve(prob: BAProblem, opts: BAOptions, Jc, Ji, Jp,
                        Hpp_inv, Hcc, Hgg, bc, bg, lam, _psum,
-                       seg_pt=None):
+                       seg_pt=None, seg_cam_local=None):
     """Materialize the reduced camera system and factorize it.
 
     S = [Hcc  Hcg] - [Hcp] Hpp^-1 [Hpc Hpg],  solve S [dc; dg] = [bc; bg]
@@ -867,16 +933,16 @@ def _dense_schur_solve(prob: BAProblem, opts: BAOptions, Jc, Ji, Jp,
     K = idx.shape[1]
 
     if (prob.cam_pair_tables is not None and Ng == 1 and
-            seg_pt is not None):
+            seg_pt is not None and seg_cam_local is not None):
         # scatter-free assembly via static camera-pair gather tables
         acc_cc, corr_cg, corr_gg = _dense_schur_corr_fast(
-            prob, Jc, Ji, Jp, Hpp_inv, seg_pt, dtype)
+            prob, Jc, Ji, Jp, Hpp_inv, seg_pt, seg_cam_local, dtype)
         corr_cc_flat = _psum(acc_cc)
         corr_cg = _psum(corr_cg)
         corr_gg = _psum(corr_gg)
         return _dense_schur_factor_solve(
             prob, opts, Jc, Ji, Hcc, Hgg, bc, bg, lam, _psum,
-            corr_cc_flat, corr_cg, corr_gg)
+            corr_cc_flat, corr_cg, corr_gg, seg_cam_local)
 
     # per-obs camera-point and group-point coupling blocks
     U = jnp.einsum("mka,mkb->mab", Jc, Jp)                 # (M,6,3)
@@ -956,7 +1022,8 @@ def _dense_schur_solve(prob: BAProblem, opts: BAOptions, Jc, Ji, Jp,
 
 def _dense_schur_factor_solve(prob: BAProblem, opts: BAOptions, Jc, Ji,
                               Hcc, Hgg, bc, bg, lam, _psum,
-                              corr_cc_flat, corr_cg, corr_gg):
+                              corr_cc_flat, corr_cg, corr_gg,
+                              seg_cam_local=None):
     """Assemble the damped reduced camera system from the correction
     blocks and solve it with a Cholesky factorization (shared tail of
     both dense-Schur assembly paths)."""
@@ -964,10 +1031,18 @@ def _dense_schur_factor_solve(prob: BAProblem, opts: BAOptions, Jc, Ji,
     Ng, P = prob.intrinsics.shape
     dtype = prob.points.dtype
 
-    Hcg = _psum(jax.ops.segment_sum(
-        jnp.einsum("mka,mkb->mab", Jc, Ji),
-        prob.obs_cam * Ng + prob.obs_group,
-        num_segments=Nc * Ng).reshape(Nc, Ng, 6, P))
+    if Ng == 1 and seg_cam_local is not None:
+        M_ = Jc.shape[0]
+        Hcg_flat = _flat_einsum("ka,kb->ab", (2, 6), (2, P),
+                                Jc.reshape(M_, 12),
+                                Ji.reshape(M_, 2 * P),
+                                out_dtype=dtype)           # (M,6P)
+        Hcg = _psum(seg_cam_local(Hcg_flat)).reshape(Nc, Ng, 6, P)
+    else:
+        Hcg = _psum(jax.ops.segment_sum(
+            jnp.einsum("mka,mkb->mab", Jc, Ji),
+            prob.obs_cam * Ng + prob.obs_group,
+            num_segments=Nc * Ng).reshape(Nc, Ng, 6, P))
 
     # assemble the dense system (6Nc+P*Ng square).
     # The damped block-diagonal folds into the FLAT pair accumulator
@@ -1178,6 +1253,8 @@ def bundle_adjust_host_f64(prob: BAProblem, opts: BAOptions):
             def to64(x):
                 if x is None:
                     return None
+                if isinstance(x, tuple):
+                    return tuple(to64(e) for e in x)
                 arr = np.asarray(x)
                 if arr.dtype == np.float32:
                     arr = arr.astype(np.float64)
