@@ -1,6 +1,9 @@
 """One bench attempt in an isolated process (used by bench.py / bisect).
 
-Usage: python scripts/bench_probe.py <n_cams> <n_pts> <solver> <n_iters> [reps]
+Usage: python scripts/bench_probe.py <n_cams> <n_pts> <solver> <n_iters> \
+         [reps] [mode]
+  solver: pcg | dense_schur | dense_schur_notables
+  mode:   run (default) | compile  (compile-only: no execution)
 Prints one JSON line on success.
 """
 import json
@@ -14,6 +17,7 @@ def main():
     solver = sys.argv[3]
     n_iters = int(sys.argv[4])
     reps = int(sys.argv[5]) if len(sys.argv) > 5 else 3
+    mode = sys.argv[6] if len(sys.argv) > 6 else "run"
 
     import jax
 
@@ -27,7 +31,10 @@ def main():
     prob = _make_problem(n_cams=n_cams, n_pts=n_pts, obs_per_pt=4,
                          dtype=jnp.float32)
     prob = add_point_obs_map(prob)
-    if solver == "dense_schur":
+    use_tables = solver == "dense_schur"
+    if solver == "dense_schur_notables":
+        solver = "dense_schur"
+    if use_tables:
         prob = add_cam_pair_tables(prob)
 
     opts = BAOptions(max_iterations=n_iters,
@@ -38,20 +45,35 @@ def main():
 
     run = jax.jit(lambda p: bundle_adjust(p, opts))
     t_c = time.perf_counter()
-    out, summary = run(prob)
-    float(summary.final_cost)
+    lowered = run.lower(prob)
+    trace_s = time.perf_counter() - t_c
+    compiled = lowered.compile()
     compile_s = time.perf_counter() - t_c
+    print(json.dumps({"phase": "compiled", "trace_s": round(trace_s, 1),
+                      "compile_s": round(compile_s, 1)}), flush=True)
+    if mode == "compile":
+        print(json.dumps({"ok": True, "mode": "compile",
+                          "compile_s": round(compile_s, 1)}))
+        return
+
+    t_c = time.perf_counter()
+    out, summary = compiled(prob)
+    float(summary.final_cost)
+    first_run_s = time.perf_counter() - t_c
 
     t0 = time.perf_counter()
     for _ in range(reps):
-        out, summary = run(prob)
+        out, summary = compiled(prob)
         float(summary.final_cost)
     dt = (time.perf_counter() - t0) / reps
 
     iters = int(summary.num_iterations)
     print(json.dumps({
         "ok": True, "n_cams": n_cams, "n_pts": n_pts, "solver": solver,
-        "iters_per_sec": round(iters / dt, 3), "compile_s": round(compile_s, 1),
+        "tables": use_tables,
+        "iters_per_sec": round(iters / dt, 3),
+        "compile_s": round(compile_s, 1),
+        "first_run_s": round(first_run_s, 1),
         "final_cost": float(summary.final_cost),
     }))
 

@@ -137,6 +137,51 @@ def test_ba_shared_intrinsics_focal(rng):
     np.testing.assert_allclose(focals, [700.0, 700.0], rtol=2e-3)
 
 
+def test_ba_multi_intrinsics_slots(rng):
+    """Several active intrinsics slots (focal + pp + radial k1): the
+    active-slot compression must recover all of them, on both solver
+    paths (ref OptimizeIntrinsicsType bitmask combinations,
+    bundle_adjustment.h:66-123)."""
+    from theiasfm_tpu.sfm.ba.bundle_adjustment import add_point_obs_map
+    gt = make_ba_problem(rng, n_cams=8, n_pts=150)
+    intr = np.asarray(gt.intrinsics).copy()
+    intr[:, 0] *= 1.04          # focal off by 4%
+    intr[:, 3] += 4.0           # principal point off
+    intr[:, 4] -= 3.0
+    intr[:, 5] = 0.02           # spurious radial k1
+    noisy = gt._replace(intrinsics=jnp.asarray(intr))
+    noisy = perturb(noisy, rng, cam_sigma=0.02, pt_sigma=0.02)
+    sel = tuple(i in (0, 3, 4, 5) for i in range(10))
+    for extra in (dict(cg_iterations=150, cg_tol=1e-12),
+                  dict(linear_solver="dense_schur")):
+        opts = BAOptions(max_iterations=40, optimize_intrinsics=sel,
+                         **extra)
+        out, summary = bundle_adjust(add_point_obs_map(noisy), opts)
+        got = np.asarray(out.intrinsics[0])
+        np.testing.assert_allclose(got[0], 700.0, rtol=5e-3)
+        np.testing.assert_allclose(got[3], 320.0, atol=2.0)
+        np.testing.assert_allclose(got[4], 240.0, atol=2.0)
+        np.testing.assert_allclose(got[5], 0.0, atol=5e-3)
+        # inactive slots untouched
+        np.testing.assert_array_equal(got[[1, 2, 6, 7, 8, 9]],
+                                      np.asarray(intr[0])[[1, 2, 6, 7,
+                                                           8, 9]])
+
+
+def test_ba_frozen_intrinsics(rng):
+    """optimize_intrinsics all-False: intrinsics must come back
+    bit-identical while cameras/points still converge."""
+    gt = make_ba_problem(rng)
+    noisy = perturb(gt, rng)
+    opts = BAOptions(max_iterations=25, cg_iterations=60,
+                     optimize_intrinsics=(False,) * 10)
+    out, summary = bundle_adjust(noisy, opts)
+    np.testing.assert_array_equal(np.asarray(out.intrinsics),
+                                  np.asarray(noisy.intrinsics))
+    assert float(summary.final_cost) < 1e-8 * float(
+        summary.initial_cost)
+
+
 def test_ba_holds_constant_cameras(rng):
     gt = make_ba_problem(rng, n_cams=6)
     noisy = perturb(gt, rng)

@@ -251,7 +251,30 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
     Ng = prob.intrinsics.shape[0]
     Np = prob.points.shape[0]
     dtype = prob.points.dtype
-    P = prob.intrinsics.shape[1]
+    Pfull = prob.intrinsics.shape[1]
+
+    # Active-intrinsics compression: the reference's default optimizes
+    # FOCAL_LENGTH only (OptimizeIntrinsicsType, bundle_adjustment.h:
+    # 66-123); carrying all Pfull=10 padded slots through every
+    # group-side einsum/reduction wastes ~10x HBM traffic and FLOPs.
+    # The group jacobian is statically sliced to the active slots; the
+    # step is expanded back at update time.
+    active = tuple(i for i, b in enumerate(opts.optimize_intrinsics)
+                   if b and i < Pfull)
+    P = max(1, len(active))  # keep a dummy zeroed slot when none active
+    _active_idx = np.asarray(active if active else (0,), np.int32)
+
+    def _compress_ji(Ji):
+        Ji = Ji[:, :, _active_idx]
+        if not active:
+            Ji = Ji * 0.0
+        return Ji
+
+    def _expand_dg(dg):
+        out = jnp.zeros((Ng, Pfull), dg.dtype)
+        if active:
+            out = out.at[:, _active_idx].set(dg)
+        return out
 
     obs_valid = prob.obs_mask
 
@@ -390,7 +413,7 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         w = jnp.where(obs_valid, w, 0.0)
         r, Jc, Ji, Jp = _all_jacobians(opts.model_type, p, w, r_raw=r0)
         Jc, Ji, Jp = _apply_masks(prob, opts, Jc, Ji, Jp)
-        return r, Jc, Ji, Jp
+        return r, Jc, _compress_ji(Ji), Jp
 
     def solve_normal_eqs(r, Jc, Ji, Jp, lam):
         """One damped Schur/PCG solve. Returns (dc, di, dp)."""
@@ -587,7 +610,7 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         r, Jc, Ji, Jp = build_system(extr, intr, pts, r_cur)
         dc, dg, dp = solve_normal_eqs(r, Jc, Ji, Jp, lam)
         extr_new = extr + dc
-        intr_new = intr + dg
+        intr_new = intr + _expand_dg(dg)
         pts_new = pts + dp
         new_cost, r_new = cost_and_residuals(extr_new, intr_new,
                                              pts_new)
@@ -708,7 +731,7 @@ def _dense_schur_corr_fast(prob: BAProblem, Jc, Ji, Jp, Hpp_inv, seg_pt,
     into (Nc*Nc, 36) by two permutation GATHERS — zero scatters.
     """
     Nc = prob.extrinsics.shape[0]
-    P = prob.intrinsics.shape[1]
+    P = Ji.shape[2]   # active-compressed group-param count
     M = prob.obs_cam.shape[0]
     # everything per-observation lives in FLAT (M, F) layout; the small
     # per-row matrix products are _flat_einsum expansion matmuls
@@ -926,7 +949,8 @@ def _dense_schur_solve(prob: BAProblem, opts: BAOptions, Jc, Ji, Jp,
             "the problem with add_point_obs_map/pad_ba_problem("
             "build_point_obs_map=True)")
     Nc = prob.extrinsics.shape[0]
-    Ng, P = prob.intrinsics.shape
+    Ng = prob.intrinsics.shape[0]
+    P = Ji.shape[2]   # active-compressed group-param count
     dtype = prob.points.dtype
 
     idx = prob.pt_idx_map                                  # (Np, K)
@@ -1028,7 +1052,8 @@ def _dense_schur_factor_solve(prob: BAProblem, opts: BAOptions, Jc, Ji,
     blocks and solve it with a Cholesky factorization (shared tail of
     both dense-Schur assembly paths)."""
     Nc = prob.extrinsics.shape[0]
-    Ng, P = prob.intrinsics.shape
+    Ng = prob.intrinsics.shape[0]
+    P = Ji.shape[2]   # active-compressed group-param count
     dtype = prob.points.dtype
 
     if Ng == 1 and seg_cam_local is not None:
