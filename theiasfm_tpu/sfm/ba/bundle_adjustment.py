@@ -602,12 +602,23 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
                                         prob.intrinsics, prob.points)
 
     def lm_cond(st):
-        it, _, _, _, lam, cost, _, done = st
+        it, _, _, _, lam, cost, _, _, _, done = st
         return (it < opts.max_iterations) & ~done
 
     def lm_body(st):
-        it, extr, intr, pts, lam, cost, r_cur, done = st
-        r, Jc, Ji, Jp = build_system(extr, intr, pts, r_cur)
+        (it, extr, intr, pts, lam, cost, r_cur, J_state,
+         prev_accepted, done) = st
+        # A REJECTED step leaves (extr, intr, pts, r_cur) unchanged —
+        # the weighted residuals and jacobian blocks from the previous
+        # iteration are still exact, so the whole jacobian pass is
+        # skipped (only the damped solve re-runs with the new lambda).
+        # Mirrors Ceres' evaluator caching across failed trust-region
+        # steps.
+        J_state = jax.lax.cond(
+            prev_accepted,
+            lambda: build_system(extr, intr, pts, r_cur),
+            lambda: J_state)
+        r, Jc, Ji, Jp = J_state
         dc, dg, dp = solve_normal_eqs(r, Jc, Ji, Jp, lam)
         extr_new = extr + dc
         intr_new = intr + _expand_dg(dg)
@@ -625,12 +636,18 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         rel_decrease = (cost - new_cost) / jnp.maximum(cost, 1e-30)
         done = accept & (rel_decrease < opts.function_tolerance)
         cost = jnp.where(accept, new_cost, cost)
-        return (it + 1, extr, intr, pts, lam, cost, r_cur, done)
+        return (it + 1, extr, intr, pts, lam, cost, r_cur, J_state,
+                accept, done)
 
+    M_obs_ = prob.obs_cam.shape[0]
+    J_state0 = (jnp.zeros((M_obs_, 2), dtype),
+                jnp.zeros((M_obs_, 2, 6), dtype),
+                jnp.zeros((M_obs_, 2, P), dtype),
+                jnp.zeros((M_obs_, 2, 3), dtype))
     st0 = (jnp.zeros((), jnp.int32), prob.extrinsics, prob.intrinsics,
            prob.points, jnp.asarray(opts.initial_lambda, dtype), cost0,
-           r0_init, jnp.zeros((), bool))
-    it, extr, intr, pts, lam, cost, _, _ = jax.lax.while_loop(
+           r0_init, J_state0, jnp.ones((), bool), jnp.zeros((), bool))
+    it, extr, intr, pts, lam, cost, _, _, _, _ = jax.lax.while_loop(
         lm_cond, lm_body, st0)
 
     out = prob._replace(extrinsics=extr, intrinsics=intr, points=pts)
