@@ -36,11 +36,15 @@ def main():
         solver = "dense_schur"
     if use_tables:
         prob = add_cam_pair_tables(prob)
+    bf16 = solver.endswith("_bf16")
+    if bf16:
+        solver = solver[:-len("_bf16")]
 
     opts = BAOptions(max_iterations=n_iters,
                      loss="huber", loss_scale=2.0,
                      function_tolerance=0.0,
                      point_indices_sorted=True,
+                     matvec_bf16=bf16,
                      linear_solver=solver)
 
     run = jax.jit(lambda p: bundle_adjust(p, opts))
@@ -49,8 +53,15 @@ def main():
     trace_s = time.perf_counter() - t_c
     compiled = lowered.compile()
     compile_s = time.perf_counter() - t_c
+    try:
+        ma = compiled.memory_analysis()
+        mem = {"temp_mb": round(ma.temp_size_in_bytes / 2**20),
+               "arg_mb": round(ma.argument_size_in_bytes / 2**20)}
+    except Exception:
+        mem = {}
     print(json.dumps({"phase": "compiled", "trace_s": round(trace_s, 1),
-                      "compile_s": round(compile_s, 1)}), flush=True)
+                      "compile_s": round(compile_s, 1), **mem}),
+          flush=True)
     if mode == "compile":
         print(json.dumps({"ok": True, "mode": "compile",
                           "compile_s": round(compile_s, 1)}))

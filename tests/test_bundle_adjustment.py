@@ -285,3 +285,33 @@ def test_dense_schur_jit_and_padded(rng):
     run = jax.jit(lambda p: bundle_adjust(p, opts))
     out, summary = run(padded)
     assert float(summary.final_cost) < 1e-6 * float(summary.initial_cost)
+
+
+def test_cg_forcing_and_precond_reuse_converge(rng):
+    """cg_eta forcing (Ceres' eta-based inexact step) and
+    stale-preconditioner reuse must not change where LM converges —
+    both only trade per-iteration accuracy for speed, and the trust
+    region absorbs the difference."""
+    gt = make_ba_problem(rng)
+    noisy = perturb(gt, rng)
+    base = BAOptions(max_iterations=40, cg_iterations=60)
+    _, s0 = bundle_adjust(noisy, base)
+    fast = BAOptions(max_iterations=40, cg_iterations=60,
+                     cg_eta=0.1, precond_reuse=True)
+    _, s1 = bundle_adjust(noisy, fast)
+    cost_before = float(ba_cost(noisy, base))
+    assert float(s1.final_cost) < 1e-9 * cost_before, (
+        float(s0.final_cost), float(s1.final_cost))
+
+
+def test_precond_reuse_matches_exact_with_bf16(rng):
+    gt = make_ba_problem(rng, noise_pix=0.3)
+    noisy = perturb(gt, rng)
+    fast = BAOptions(max_iterations=30, cg_iterations=60,
+                     cg_eta=0.1, precond_reuse=True, matvec_bf16=True)
+    _, s = bundle_adjust(noisy, fast)
+    exact = BAOptions(max_iterations=30, cg_iterations=60)
+    _, s0 = bundle_adjust(noisy, exact)
+    # same basin: final costs within a few percent of each other
+    assert float(s.final_cost) <= 1.05 * float(s0.final_cost) + 1e-6, (
+        float(s.final_cost), float(s0.final_cost))

@@ -135,6 +135,20 @@ class BAOptions:
     # per-CG-iteration cost. The LM accept/reject loop guards against
     # the (slightly) inexact operator.
     matvec_bf16: bool = False
+    # Inexact-Newton forcing sequence: when > 0, CG terminates at
+    # ||r|| <= max(cg_tol, eta_k) * ||b|| with eta_0 = cg_eta and eta
+    # halved every LM iteration (floored at cg_tol). Early LM
+    # iterations get cheap loose solves, late ones full accuracy —
+    # Ceres' eta-based termination for ITERATIVE_SCHUR
+    # (ref BundleAdjustmentOptions uses Ceres defaults; Ceres
+    # Solver::Options::eta = 1e-1).
+    cg_eta: float = 0.0
+    # Reuse the SCHUR_JACOBI preconditioner from the previous LM
+    # iteration on REJECTED steps (the stale preconditioner only
+    # affects CG convergence rate, never correctness — the damped
+    # operator itself always uses the fresh lambda). Ignored (always
+    # rebuilt) under shard_map, where the rebuild contains collectives.
+    precond_reuse: bool = False
     # When set, bundle_adjust is running INSIDE shard_map over this
     # mesh axis with observations+points device-local and
     # cameras/groups replicated: camera/group reductions, CG dots, and
@@ -415,8 +429,31 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         Jc, Ji, Jp = _apply_masks(prob, opts, Jc, Ji, Jp)
         return r, Jc, _compress_ji(Ji), Jp
 
-    def solve_normal_eqs(r, Jc, Ji, Jp, lam):
-        """One damped Schur/PCG solve. Returns (dc, di, dp)."""
+    def make_blocks(r, Jc, Ji, Jp):
+        """Lambda-INDEPENDENT pieces of the normal equations: undamped
+        block-diagonal Hessian blocks and gradients. Computed once per
+        accepted LM step and reused across rejected-step re-solves
+        (only the damping depends on lambda)."""
+        # (bf16 inputs here measured slightly SLOWER — the casts break
+        # XLA's einsum+segment_sum fusion; keep f32)
+        Hpp = seg_pt(jnp.einsum("mki,mkj->mij", Jp, Jp))   # (Np,3,3)
+        Hcc = seg_cam(jnp.einsum("mki,mkj->mij", Jc, Jc))  # (Nc,6,6)
+        Hgg = grp_contract("mki,mkj->mij", Ji, Ji)         # (Ng,P,P)
+        gc = seg_cam(jnp.einsum("mki,mk->mi", Jc, r))      # (Nc,6)
+        gg = grp_contract("mki,mk->mi", Ji, r)             # (Ng,P)
+        gp = seg_pt(jnp.einsum("mki,mk->mi", Jp, r))       # (Np,3)
+        return Hpp, Hcc, Hgg, gc, gg, gp
+
+    def solve_normal_eqs(r, Jc, Ji, Jp, blocks, lam, P_state,
+                         rebuild_precond, eta):
+        """One damped Schur/PCG solve.
+
+        Returns (dc, di, dp, P_state). `blocks` are the
+        lambda-independent pieces from make_blocks; `P_state` carries
+        the (Pc_inv, Pg_inv) preconditioner across rejected steps when
+        opts.precond_reuse; `eta` is the dynamic CG forcing tolerance
+        (ignored unless opts.cg_eta > 0)."""
+        Hpp, Hcc, Hgg, gc, gg, gp = blocks
         if opts.matvec_bf16:
             Jc_mv = Jc.astype(jnp.bfloat16)
             Ji_mv = Ji.astype(jnp.bfloat16)
@@ -428,23 +465,11 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
             return jnp.einsum(expr, a, b,
                               preferred_element_type=dtype)
 
-        # --- block-diagonal pieces. Hpp enters the REAL math (operator
-        # + back-substitution) — full precision; Hcc/Hgg only damp and
-        # precondition — matvec dtype with f32 accumulation.
-        Hpp = seg_pt(jnp.einsum("mki,mkj->mij", Jp, Jp))  # (Np,3,3)
+        # --- damped point blocks. Hpp enters the REAL math (operator
+        # + back-substitution) — full precision.
         Hpp_d = Hpp + lam * _diagonal_only(Hpp) + \
             1e-12 * jnp.eye(3, dtype=dtype)
         Hpp_inv = _inv3(Hpp_d)
-
-        # (bf16 inputs here measured slightly SLOWER — the casts break
-        # XLA's einsum+segment_sum fusion; keep f32)
-        Hcc = seg_cam(jnp.einsum("mki,mkj->mij", Jc, Jc))  # (Nc,6,6)
-        Hgg = grp_contract("mki,mkj->mij", Ji, Ji)         # (Ng,P,P)
-
-        # gradient
-        gc = seg_cam(jnp.einsum("mki,mk->mi", Jc, r))      # (Nc,6)
-        gg = grp_contract("mki,mk->mi", Ji, r)             # (Ng,P)
-        gp = seg_pt(jnp.einsum("mki,mk->mi", Jp, r))       # (Np,3)
 
         # reduced RHS: b = -g_c + Hcp Hpp^-1 g_p  (for cam and group)
         yp = jnp.einsum("nij,nj->ni", Hpp_inv, gp)         # (Np,3)
@@ -461,7 +486,7 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
                  jnp.einsum("mki,mi->mk", Ji, dg[prob.obs_group]))
             hp = seg_pt(jnp.einsum("mki,mk->mi", Jp, u))
             dp = jnp.einsum("nij,nj->ni", Hpp_inv, -gp - hp)
-            return dc, dg, dp
+            return dc, dg, dp, P_state
 
         # --- matrix-free S @ v. The two camera-side (and group-side)
         # reductions fuse algebraically: seg(J^T u) - seg(J^T u2)
@@ -498,40 +523,51 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         # _flat_einsum: (M, i, j) einsum temporaries with small minor
         # dims would tile-pad (8, 128), up to 28x HBM blowup at 10^6+
         # observations.
-        M_ = Jc_mv.shape[0]
-        H9_mv = Hpp_inv.reshape(-1, 9)[prob.obs_pt].astype(Jc_mv.dtype)
-        U18_mv = _flat_einsum("ka,kc->ac", (2, 6), (2, 3),
-                              Jc_mv.reshape(M_, 12),
-                              Jp_mv.reshape(M_, 6))        # J_c^T J_p
-        T18_mv = _flat_einsum("ac,ce->ae", (6, 3), (3, 3),
-                              U18_mv, H9_mv)               # U Hpp^-1
-        D_m = _flat_einsum("ac,bc->ab", (6, 3), (6, 3), T18_mv,
-                           U18_mv, out_dtype=dtype)        # (M,36)
-        Scc_corr = seg_cam(D_m).reshape(Nc, 6, 6)
-        Scc = Hcc + lam * _diagonal_only(Hcc) - Scc_corr + \
-            1e-10 * jnp.eye(6, dtype=dtype)
-        Pc_inv = jnp.linalg.inv(Scc)
-        if Ng == 1:
-            Ug_mv = _flat_einsum("kp,kc->pc", (2, P), (2, 3),
-                                 Ji_mv.reshape(M_, 2 * P),
-                                 Jp_mv.reshape(M_, 6))     # (M,3P)
-            Tg_mv = _flat_einsum("pc,ce->pe", (P, 3), (3, 3),
-                                 Ug_mv, H9_mv)
-            G2 = jnp.dot(Tg_mv.T, Ug_mv,
-                         preferred_element_type=dtype)     # (3P,3P)
-            Sgg_corr = _psum(jnp.einsum(
-                "pcqc->pq", G2.reshape(P, 3, P, 3))[None])
+        def build_precond():
+            M_ = Jc_mv.shape[0]
+            H9_mv = Hpp_inv.reshape(-1, 9)[prob.obs_pt].astype(
+                Jc_mv.dtype)
+            U18_mv = _flat_einsum("ka,kc->ac", (2, 6), (2, 3),
+                                  Jc_mv.reshape(M_, 12),
+                                  Jp_mv.reshape(M_, 6))    # J_c^T J_p
+            T18_mv = _flat_einsum("ac,ce->ae", (6, 3), (3, 3),
+                                  U18_mv, H9_mv)           # U Hpp^-1
+            D_m = _flat_einsum("ac,bc->ab", (6, 3), (6, 3), T18_mv,
+                               U18_mv, out_dtype=dtype)    # (M,36)
+            Scc_corr = seg_cam(D_m).reshape(Nc, 6, 6)
+            Scc = Hcc + lam * _diagonal_only(Hcc) - Scc_corr + \
+                1e-10 * jnp.eye(6, dtype=dtype)
+            Pc_inv = jnp.linalg.inv(Scc)
+            if Ng == 1:
+                Ug_mv = _flat_einsum("kp,kc->pc", (2, P), (2, 3),
+                                     Ji_mv.reshape(M_, 2 * P),
+                                     Jp_mv.reshape(M_, 6))  # (M,3P)
+                Tg_mv = _flat_einsum("pc,ce->pe", (P, 3), (3, 3),
+                                     Ug_mv, H9_mv)
+                G2 = jnp.dot(Tg_mv.T, Ug_mv,
+                             preferred_element_type=dtype)  # (3P,3P)
+                Sgg_corr = _psum(jnp.einsum(
+                    "pcqc->pq", G2.reshape(P, 3, P, 3))[None])
+            else:
+                Hpp_inv_m = Hpp_inv[prob.obs_pt].astype(Jc_mv.dtype)
+                Wg = _ee("mki,mkj->mij", Jp_mv, Ji_mv)     # (M,3,P)
+                HWg = _ee("mij,mjk->mik", Hpp_inv_m,
+                          Wg.astype(Jc_mv.dtype))          # (M,3,P)
+                Sgg_corr = grp_contract("mji,mjk->mik",
+                                        Wg.astype(Jc_mv.dtype),
+                                        HWg.astype(Jc_mv.dtype))
+            Sgg = Hgg + lam * _diagonal_only(Hgg) - Sgg_corr + \
+                1e-10 * jnp.eye(P, dtype=dtype)
+            Pg_inv = jnp.linalg.inv(Sgg)
+            return Pc_inv, Pg_inv
+
+        if rebuild_precond is None:
+            Pc_inv, Pg_inv = build_precond()
         else:
-            Hpp_inv_m = Hpp_inv[prob.obs_pt].astype(Jc_mv.dtype)
-            Wg = _ee("mki,mkj->mij", Jp_mv, Ji_mv)         # (M,3,P)
-            HWg = _ee("mij,mjk->mik", Hpp_inv_m,
-                      Wg.astype(Jc_mv.dtype))              # (M,3,P)
-            Sgg_corr = grp_contract("mji,mjk->mik",
-                                    Wg.astype(Jc_mv.dtype),
-                                    HWg.astype(Jc_mv.dtype))
-        Sgg = Hgg + lam * _diagonal_only(Hgg) - Sgg_corr + \
-            1e-10 * jnp.eye(P, dtype=dtype)
-        Pg_inv = jnp.linalg.inv(Sgg)
+            # stale-on-reject reuse: only CG convergence rate is
+            # affected (the operator itself uses the fresh lambda)
+            Pc_inv, Pg_inv = jax.lax.cond(
+                rebuild_precond, build_precond, lambda: P_state)
 
         def precond(vc, vg):
             return (jnp.einsum("nij,nj->ni", Pc_inv, vc),
@@ -549,7 +585,9 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         p_c, p_g = z_c, z_g
         rz = dot(r_c, r_g, z_c, z_g)
         b_norm = jnp.sqrt(dot(bc, bg, bc, bg))
-        tol2 = (opts.cg_tol * b_norm) ** 2
+        tol_eff = (jnp.maximum(opts.cg_tol, eta) if opts.cg_eta > 0
+                   else opts.cg_tol)
+        tol2 = (tol_eff * b_norm) ** 2
 
         def cg_cond(st):
             k, _, _, r_c, r_g, _, _, _ = st
@@ -581,7 +619,7 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
              jnp.einsum("mki,mi->mk", Ji, dg[prob.obs_group]))
         hp = seg_pt(jnp.einsum("mki,mk->mi", Jp, u))
         dp = jnp.einsum("nij,nj->ni", Hpp_inv, -gp - hp)
-        return dc, dg, dp
+        return dc, dg, dp, (Pc_inv, Pg_inv)
 
     # ----------------------------------------------------------------- LM
     def cost_and_residuals(extr, intr, pts):
@@ -601,25 +639,39 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
     cost0, r0_init = cost_and_residuals(prob.extrinsics,
                                         prob.intrinsics, prob.points)
 
+    # Under shard_map the reuse conds would nest collectives (seg_cam
+    # psums) inside data-dependent control flow — always rebuild there.
+    reuse_blocks = opts.axis_name is None
+    use_precond_reuse = (opts.precond_reuse and reuse_blocks and
+                         opts.linear_solver == "pcg")
+
     def lm_cond(st):
-        it, _, _, _, lam, cost, _, _, _, done = st
-        return (it < opts.max_iterations) & ~done
+        return (st[0] < opts.max_iterations) & ~st[-1]
 
     def lm_body(st):
-        (it, extr, intr, pts, lam, cost, r_cur, J_state,
-         prev_accepted, done) = st
+        (it, extr, intr, pts, lam, cost, r_cur, J_state, B_state,
+         P_state, eta, prev_accepted, done) = st
         # A REJECTED step leaves (extr, intr, pts, r_cur) unchanged —
-        # the weighted residuals and jacobian blocks from the previous
-        # iteration are still exact, so the whole jacobian pass is
-        # skipped (only the damped solve re-runs with the new lambda).
-        # Mirrors Ceres' evaluator caching across failed trust-region
-        # steps.
+        # the weighted residuals, jacobian blocks, AND the
+        # lambda-independent Hessian blocks/gradients from the previous
+        # iteration are still exact, so both passes are skipped (only
+        # the damped solve re-runs with the new lambda). Mirrors Ceres'
+        # evaluator caching across failed trust-region steps.
         J_state = jax.lax.cond(
             prev_accepted,
             lambda: build_system(extr, intr, pts, r_cur),
             lambda: J_state)
         r, Jc, Ji, Jp = J_state
-        dc, dg, dp = solve_normal_eqs(r, Jc, Ji, Jp, lam)
+        if reuse_blocks:
+            B_state = jax.lax.cond(
+                prev_accepted,
+                lambda: make_blocks(r, Jc, Ji, Jp),
+                lambda: B_state)
+        else:
+            B_state = make_blocks(r, Jc, Ji, Jp)
+        rebuild = prev_accepted if use_precond_reuse else None
+        dc, dg, dp, P_state = solve_normal_eqs(
+            r, Jc, Ji, Jp, B_state, lam, P_state, rebuild, eta)
         extr_new = extr + dc
         intr_new = intr + _expand_dg(dg)
         pts_new = pts + dp
@@ -633,22 +685,35 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         lam = jnp.where(accept,
                         jnp.maximum(lam * 0.33, opts.min_lambda),
                         jnp.minimum(lam * 10.0, opts.max_lambda))
+        eta = jnp.maximum(eta * 0.5, opts.cg_tol)
         rel_decrease = (cost - new_cost) / jnp.maximum(cost, 1e-30)
         done = accept & (rel_decrease < opts.function_tolerance)
         cost = jnp.where(accept, new_cost, cost)
         return (it + 1, extr, intr, pts, lam, cost, r_cur, J_state,
-                accept, done)
+                B_state, P_state, eta, accept, done)
 
     M_obs_ = prob.obs_cam.shape[0]
     J_state0 = (jnp.zeros((M_obs_, 2), dtype),
                 jnp.zeros((M_obs_, 2, 6), dtype),
                 jnp.zeros((M_obs_, 2, P), dtype),
                 jnp.zeros((M_obs_, 2, 3), dtype))
+    B_state0 = (jnp.zeros((Np, 3, 3), dtype),
+                jnp.zeros((Nc, 6, 6), dtype),
+                jnp.zeros((Ng, P, P), dtype),
+                jnp.zeros((Nc, 6), dtype),
+                jnp.zeros((Ng, P), dtype),
+                jnp.zeros((Np, 3), dtype))
+    P_state0 = (jnp.zeros((Nc, 6, 6), dtype),
+                jnp.zeros((Ng, P, P), dtype))
     st0 = (jnp.zeros((), jnp.int32), prob.extrinsics, prob.intrinsics,
            prob.points, jnp.asarray(opts.initial_lambda, dtype), cost0,
-           r0_init, J_state0, jnp.ones((), bool), jnp.zeros((), bool))
-    it, extr, intr, pts, lam, cost, _, _, _, _ = jax.lax.while_loop(
-        lm_cond, lm_body, st0)
+           r0_init, J_state0, B_state0, P_state0,
+           jnp.asarray(opts.cg_eta if opts.cg_eta > 0 else opts.cg_tol,
+                       dtype),
+           jnp.ones((), bool), jnp.zeros((), bool))
+    st = jax.lax.while_loop(lm_cond, lm_body, st0)
+    it, extr, intr, pts, lam, cost = st[0], st[1], st[2], st[3], \
+        st[4], st[5]
 
     out = prob._replace(extrinsics=extr, intrinsics=intr, points=pts)
     return out, BASummary(initial_cost=cost0, final_cost=cost,
