@@ -31,21 +31,35 @@ def main():
     prob = _make_problem(n_cams=n_cams, n_pts=n_pts, obs_per_pt=4,
                          dtype=jnp.float32)
     prob = add_point_obs_map(prob)
+    extra = {}
+    if solver.endswith("_nojr"):
+        solver = solver[:-len("_nojr")]
+        extra["jacobian_reuse"] = False
+    bf16 = solver.endswith("_bf16")
+    if bf16:
+        solver = solver[:-len("_bf16")]
+    if solver == "pcg_fast":
+        # inexact-step configuration: bf16 matvec + eta forcing +
+        # stale-preconditioner reuse on rejected steps
+        solver = "pcg"
+        bf16 = True
+        extra.update(cg_eta=0.1, precond_reuse=True)
+    elif solver == "dense_schur_fast":
+        # stale corr-block reuse on rejected steps
+        solver = "dense_schur"
+        extra.update(precond_reuse=True)
     use_tables = solver == "dense_schur"
     if solver == "dense_schur_notables":
         solver = "dense_schur"
     if use_tables:
         prob = add_cam_pair_tables(prob)
-    bf16 = solver.endswith("_bf16")
-    if bf16:
-        solver = solver[:-len("_bf16")]
 
     opts = BAOptions(max_iterations=n_iters,
                      loss="huber", loss_scale=2.0,
                      function_tolerance=0.0,
                      point_indices_sorted=True,
                      matvec_bf16=bf16,
-                     linear_solver=solver)
+                     linear_solver=solver, **extra)
 
     run = jax.jit(lambda p: bundle_adjust(p, opts))
     t_c = time.perf_counter()
@@ -65,6 +79,12 @@ def main():
     if mode == "compile":
         print(json.dumps({"ok": True, "mode": "compile",
                           "compile_s": round(compile_s, 1)}))
+        return
+    if mode == "hlo":
+        path = f"/tmp/ba_hlo_{solver}_{n_cams}.txt"
+        with open(path, "w") as f:
+            f.write(compiled.as_text())
+        print(json.dumps({"ok": True, "mode": "hlo", "path": path}))
         return
 
     t_c = time.perf_counter()

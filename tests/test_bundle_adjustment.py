@@ -315,3 +315,21 @@ def test_precond_reuse_matches_exact_with_bf16(rng):
     # same basin: final costs within a few percent of each other
     assert float(s.final_cost) <= 1.05 * float(s0.final_cost) + 1e-6, (
         float(s.final_cost), float(s0.final_cost))
+
+
+def test_dense_schur_corr_reuse_converges(rng):
+    """dense_schur with stale corr-block reuse on rejected steps must
+    reach the same basin as the exact dense solve."""
+    from theiasfm_tpu.sfm.ba.bundle_adjustment import (
+        add_cam_pair_tables, add_point_obs_map)
+    gt = make_ba_problem(rng, n_cams=6, n_pts=80)
+    noisy = perturb(gt, rng)
+    noisy = add_cam_pair_tables(add_point_obs_map(noisy))
+    base = BAOptions(max_iterations=40, linear_solver="dense_schur")
+    _, s0 = bundle_adjust(noisy, base)
+    fast = BAOptions(max_iterations=40, linear_solver="dense_schur",
+                     precond_reuse=True)
+    _, s1 = bundle_adjust(noisy, fast)
+    cost_before = float(ba_cost(noisy, base))
+    assert float(s1.final_cost) < 1e-9 * cost_before, (
+        float(s0.final_cost), float(s1.final_cost))

@@ -143,6 +143,12 @@ class BAOptions:
     # (ref BundleAdjustmentOptions uses Ceres defaults; Ceres
     # Solver::Options::eta = 1e-1).
     cg_eta: float = 0.0
+    # Carry residuals/jacobians (and the lambda-independent Hessian
+    # blocks) across LM iterations so REJECTED steps skip the jacobian
+    # pass entirely. Costs loop-carry materialization of the per-obs
+    # jacobian arrays every iteration — a net loss if XLA assigns them
+    # padded layouts — so it is measurable both ways.
+    jacobian_reuse: bool = True
     # Reuse the SCHUR_JACOBI preconditioner from the previous LM
     # iteration on REJECTED steps (the stale preconditioner only
     # affects CG convergence rate, never correctness — the damped
@@ -479,14 +485,34 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         bg = -gg + grp_contract("mki,mk->mi", Ji, t)
 
         if opts.linear_solver == "dense_schur":
-            dc, dg = _dense_schur_solve(
-                prob, opts, Jc, Ji, Jp, Hpp_inv, Hcc, Hgg, bc, bg, lam,
-                _psum, seg_pt, seg_cam_local)
+            def build_corr():
+                return _dense_schur_corr(prob, opts, Jc, Ji, Jp,
+                                         Hpp_inv, _psum, seg_pt,
+                                         seg_cam_local)
+
+            if rebuild_precond is None:
+                corr_state = build_corr()
+            else:
+                # stale-on-reject reuse: the correction blocks keep the
+                # previous (smaller) lambda; the higher fresh lambda on
+                # the damped diagonal dominates, and a non-PD stale
+                # system just yields a NaN step that LM rejects again
+                # (lambda keeps rising until the system is PD — same
+                # recovery as a failed Ceres factorization). Hcg inside
+                # the state is lambda-independent, hence exact.
+                corr_state = jax.lax.cond(
+                    rebuild_precond, build_corr, lambda: P_state)
+            corr_cc_flat, corr_cg, corr_gg, Hcg = corr_state
+            dc, dg = _dense_schur_factor_solve(
+                prob, opts, Hcc, Hgg, bc, bg, lam,
+                corr_cc_flat, corr_cg, corr_gg, Hcg)
             u = (jnp.einsum("mki,mi->mk", Jc, dc[prob.obs_cam]) +
                  jnp.einsum("mki,mi->mk", Ji, dg[prob.obs_group]))
             hp = seg_pt(jnp.einsum("mki,mk->mi", Jp, u))
             dp = jnp.einsum("nij,nj->ni", Hpp_inv, -gp - hp)
-            return dc, dg, dp, P_state
+            # only carry the (large) corr blocks when reuse is on
+            return dc, dg, dp, (corr_state if rebuild_precond is not None
+                                else P_state)
 
         # --- matrix-free S @ v. The two camera-side (and group-side)
         # reductions fuse algebraically: seg(J^T u) - seg(J^T u2)
@@ -641,9 +667,10 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
 
     # Under shard_map the reuse conds would nest collectives (seg_cam
     # psums) inside data-dependent control flow — always rebuild there.
-    reuse_blocks = opts.axis_name is None
+    use_jac_reuse = opts.jacobian_reuse
+    reuse_blocks = opts.axis_name is None and use_jac_reuse
     use_precond_reuse = (opts.precond_reuse and reuse_blocks and
-                         opts.linear_solver == "pcg")
+                         opts.linear_solver in ("pcg", "dense_schur"))
 
     def lm_cond(st):
         return (st[0] < opts.max_iterations) & ~st[-1]
@@ -657,21 +684,26 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         # iteration are still exact, so both passes are skipped (only
         # the damped solve re-runs with the new lambda). Mirrors Ceres'
         # evaluator caching across failed trust-region steps.
-        J_state = jax.lax.cond(
-            prev_accepted,
-            lambda: build_system(extr, intr, pts, r_cur),
-            lambda: J_state)
-        r, Jc, Ji, Jp = J_state
+        if use_jac_reuse:
+            J_state = jax.lax.cond(
+                prev_accepted,
+                lambda: build_system(extr, intr, pts, r_cur),
+                lambda: J_state)
+            r, Jc, Ji, Jp = J_state
+        else:
+            r, Jc, Ji, Jp = build_system(extr, intr, pts, r_cur)
         if reuse_blocks:
             B_state = jax.lax.cond(
                 prev_accepted,
                 lambda: make_blocks(r, Jc, Ji, Jp),
                 lambda: B_state)
+            blocks = B_state
         else:
-            B_state = make_blocks(r, Jc, Ji, Jp)
+            # B_state stays a dummy carry; blocks are loop-local
+            blocks = make_blocks(r, Jc, Ji, Jp)
         rebuild = prev_accepted if use_precond_reuse else None
         dc, dg, dp, P_state = solve_normal_eqs(
-            r, Jc, Ji, Jp, B_state, lam, P_state, rebuild, eta)
+            r, Jc, Ji, Jp, blocks, lam, P_state, rebuild, eta)
         extr_new = extr + dc
         intr_new = intr + _expand_dg(dg)
         pts_new = pts + dp
@@ -693,18 +725,34 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
                 B_state, P_state, eta, accept, done)
 
     M_obs_ = prob.obs_cam.shape[0]
-    J_state0 = (jnp.zeros((M_obs_, 2), dtype),
-                jnp.zeros((M_obs_, 2, 6), dtype),
-                jnp.zeros((M_obs_, 2, P), dtype),
-                jnp.zeros((M_obs_, 2, 3), dtype))
-    B_state0 = (jnp.zeros((Np, 3, 3), dtype),
-                jnp.zeros((Nc, 6, 6), dtype),
-                jnp.zeros((Ng, P, P), dtype),
-                jnp.zeros((Nc, 6), dtype),
-                jnp.zeros((Ng, P), dtype),
-                jnp.zeros((Np, 3), dtype))
-    P_state0 = (jnp.zeros((Nc, 6, 6), dtype),
-                jnp.zeros((Ng, P, P), dtype))
+    if use_jac_reuse:
+        J_state0 = (jnp.zeros((M_obs_, 2), dtype),
+                    jnp.zeros((M_obs_, 2, 6), dtype),
+                    jnp.zeros((M_obs_, 2, P), dtype),
+                    jnp.zeros((M_obs_, 2, 3), dtype))
+    else:
+        J_state0 = (jnp.zeros((0,), dtype),) * 4
+    if reuse_blocks:
+        B_state0 = (jnp.zeros((Np, 3, 3), dtype),
+                    jnp.zeros((Nc, 6, 6), dtype),
+                    jnp.zeros((Ng, P, P), dtype),
+                    jnp.zeros((Nc, 6), dtype),
+                    jnp.zeros((Ng, P), dtype),
+                    jnp.zeros((Np, 3), dtype))
+    else:
+        B_state0 = (jnp.zeros((0,), dtype),) * 6
+    if opts.linear_solver == "dense_schur":
+        if use_precond_reuse:
+            # dense corr-block reuse state (see solve_normal_eqs)
+            P_state0 = (jnp.zeros((Nc * Nc, 36), dtype),
+                        jnp.zeros((Nc, Ng, 6, P), dtype),
+                        jnp.zeros((Ng, Ng, P, P), dtype),
+                        jnp.zeros((Nc, Ng, 6, P), dtype))
+        else:
+            P_state0 = (jnp.zeros((0,), dtype),)
+    else:
+        P_state0 = (jnp.zeros((Nc, 6, 6), dtype),
+                    jnp.zeros((Ng, P, P), dtype))
     st0 = (jnp.zeros((), jnp.int32), prob.extrinsics, prob.intrinsics,
            prob.points, jnp.asarray(opts.initial_lambda, dtype), cost0,
            r0_init, J_state0, B_state0, P_state0,
@@ -1000,13 +1048,18 @@ def add_cam_pair_tables(prob: BAProblem,
     return out
 
 
-def _dense_schur_solve(prob: BAProblem, opts: BAOptions, Jc, Ji, Jp,
-                       Hpp_inv, Hcc, Hgg, bc, bg, lam, _psum,
-                       seg_pt=None, seg_cam_local=None):
-    """Materialize the reduced camera system and factorize it.
+def _dense_schur_corr(prob: BAProblem, opts: BAOptions, Jc, Ji, Jp,
+                      Hpp_inv, _psum, seg_pt=None, seg_cam_local=None):
+    """Assemble the correction blocks of the reduced camera system.
 
-    S = [Hcc  Hcg] - [Hcp] Hpp^-1 [Hpc Hpg],  solve S [dc; dg] = [bc; bg]
+    S = [Hcc  Hcg] - [Hcp] Hpp^-1 [Hpc Hpg]
         [Hgc  Hgg]   [Hgp]
+
+    Returns (corr_cc_flat (Nc*Nc, 36), corr_cg (Nc, Ng, 6, P),
+    corr_gg (Ng, Ng, P, P), Hcg (Nc, Ng, 6, P)) — everything except the
+    damped diagonal, the RHS, and the factorization. This is the
+    expensive part of the dense solve, and the part that can be REUSED
+    with a stale lambda across rejected LM steps (opts.precond_reuse).
 
     ref DENSE_SCHUR (Ceres linear_solver_type; bundle_adjustment.h:85-87
     recommends the iterative solver only beyond ~1000 cameras). The
@@ -1035,6 +1088,20 @@ def _dense_schur_solve(prob: BAProblem, opts: BAOptions, Jc, Ji, Jp,
     P = Ji.shape[2]   # active-compressed group-param count
     dtype = prob.points.dtype
 
+    # Hcg (lambda-independent; exact even when reused)
+    if Ng == 1 and seg_cam_local is not None:
+        M_ = Jc.shape[0]
+        Hcg_flat = _flat_einsum("ka,kb->ab", (2, 6), (2, P),
+                                Jc.reshape(M_, 12),
+                                Ji.reshape(M_, 2 * P),
+                                out_dtype=dtype)           # (M,6P)
+        Hcg = _psum(seg_cam_local(Hcg_flat)).reshape(Nc, Ng, 6, P)
+    else:
+        Hcg = _psum(jax.ops.segment_sum(
+            jnp.einsum("mka,mkb->mab", Jc, Ji),
+            prob.obs_cam * Ng + prob.obs_group,
+            num_segments=Nc * Ng).reshape(Nc, Ng, 6, P))
+
     idx = prob.pt_idx_map                                  # (Np, K)
     K = idx.shape[1]
 
@@ -1043,12 +1110,7 @@ def _dense_schur_solve(prob: BAProblem, opts: BAOptions, Jc, Ji, Jp,
         # scatter-free assembly via static camera-pair gather tables
         acc_cc, corr_cg, corr_gg = _dense_schur_corr_fast(
             prob, Jc, Ji, Jp, Hpp_inv, seg_pt, seg_cam_local, dtype)
-        corr_cc_flat = _psum(acc_cc)
-        corr_cg = _psum(corr_cg)
-        corr_gg = _psum(corr_gg)
-        return _dense_schur_factor_solve(
-            prob, opts, Jc, Ji, Hcc, Hgg, bc, bg, lam, _psum,
-            corr_cc_flat, corr_cg, corr_gg, seg_cam_local)
+        return (_psum(acc_cc), _psum(corr_cg), _psum(corr_gg), Hcg)
 
     # per-obs camera-point and group-point coupling blocks
     U = jnp.einsum("mka,mkb->mab", Jc, Jp)                 # (M,6,3)
@@ -1118,38 +1180,21 @@ def _dense_schur_solve(prob: BAProblem, opts: BAOptions, Jc, Ji, Jp,
         return a_cc, a_cg, a_gg
 
     acc = jax.lax.fori_loop(0, nch, chunk_body, acc0)
-    corr_cc_flat = _psum(acc[0])                          # (Nc*Nc, 36)
-    corr_cg = _psum(acc[1]).reshape(Nc, Ng, 6, P)
-    corr_gg = _psum(acc[2]).reshape(Ng, Ng, P, P)
-    return _dense_schur_factor_solve(
-        prob, opts, Jc, Ji, Hcc, Hgg, bc, bg, lam, _psum,
-        corr_cc_flat, corr_cg, corr_gg)
+    return (_psum(acc[0]),                                # (Nc*Nc, 36)
+            _psum(acc[1]).reshape(Nc, Ng, 6, P),
+            _psum(acc[2]).reshape(Ng, Ng, P, P),
+            Hcg)
 
 
-def _dense_schur_factor_solve(prob: BAProblem, opts: BAOptions, Jc, Ji,
-                              Hcc, Hgg, bc, bg, lam, _psum,
-                              corr_cc_flat, corr_cg, corr_gg,
-                              seg_cam_local=None):
+def _dense_schur_factor_solve(prob: BAProblem, opts: BAOptions,
+                              Hcc, Hgg, bc, bg, lam,
+                              corr_cc_flat, corr_cg, corr_gg, Hcg):
     """Assemble the damped reduced camera system from the correction
-    blocks and solve it with a Cholesky factorization (shared tail of
-    both dense-Schur assembly paths)."""
+    blocks and solve it with a Cholesky factorization."""
     Nc = prob.extrinsics.shape[0]
     Ng = prob.intrinsics.shape[0]
-    P = Ji.shape[2]   # active-compressed group-param count
+    P = Hcg.shape[3]   # active-compressed group-param count
     dtype = prob.points.dtype
-
-    if Ng == 1 and seg_cam_local is not None:
-        M_ = Jc.shape[0]
-        Hcg_flat = _flat_einsum("ka,kb->ab", (2, 6), (2, P),
-                                Jc.reshape(M_, 12),
-                                Ji.reshape(M_, 2 * P),
-                                out_dtype=dtype)           # (M,6P)
-        Hcg = _psum(seg_cam_local(Hcg_flat)).reshape(Nc, Ng, 6, P)
-    else:
-        Hcg = _psum(jax.ops.segment_sum(
-            jnp.einsum("mka,mkb->mab", Jc, Ji),
-            prob.obs_cam * Ng + prob.obs_group,
-            num_segments=Nc * Ng).reshape(Nc, Ng, 6, P))
 
     # assemble the dense system (6Nc+P*Ng square).
     # The damped block-diagonal folds into the FLAT pair accumulator
