@@ -30,6 +30,20 @@ def main():
 
     prob = _make_problem(n_cams=n_cams, n_pts=n_pts, obs_per_pt=4,
                          dtype=jnp.float32)
+    # Perturb well away from the optimum so every measured LM iteration
+    # does productive descent work: the unperturbed problem converges
+    # in ~2 iterations and the remaining "iterations" would only churn
+    # rejected steps — an unrepresentative (and reuse-flattered) mix
+    # compared to the reference's ~40 real Ceres iterations.
+    import numpy as np
+    prng = np.random.default_rng(7)
+    extr = np.asarray(prob.extrinsics)
+    extr[:, :3] += prng.normal(scale=0.05, size=(extr.shape[0], 3))
+    extr[:, 3:] += prng.normal(scale=0.005, size=(extr.shape[0], 3))
+    pts = np.asarray(prob.points) + prng.normal(
+        scale=0.05, size=prob.points.shape)
+    prob = prob._replace(extrinsics=jnp.asarray(extr),
+                         points=jnp.asarray(pts))
     prob = add_point_obs_map(prob)
     extra = {}
     if solver.endswith("_nojr"):

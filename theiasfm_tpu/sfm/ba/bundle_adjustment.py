@@ -145,10 +145,12 @@ class BAOptions:
     cg_eta: float = 0.0
     # Carry residuals/jacobians (and the lambda-independent Hessian
     # blocks) across LM iterations so REJECTED steps skip the jacobian
-    # pass entirely. Costs loop-carry materialization of the per-obs
-    # jacobian arrays every iteration — a net loss if XLA assigns them
-    # padded layouts — so it is measurable both ways.
-    jacobian_reuse: bool = True
+    # pass entirely. MEASURED NET LOSS on v5e even on a reject-heavy
+    # problem (1.603 vs 1.887 LM iters/s at Notre-Dame scale): the
+    # lax.cond carry forces materialization of the per-obs jacobian
+    # arrays every iteration and breaks XLA fusion. Off by default;
+    # kept as a knob for future layouts that might flip the balance.
+    jacobian_reuse: bool = False
     # Reuse the SCHUR_JACOBI preconditioner from the previous LM
     # iteration on REJECTED steps (the stale preconditioner only
     # affects CG convergence rate, never correctness — the damped
