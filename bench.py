@@ -30,14 +30,17 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 BASELINE_ITERS_PER_SEC = 0.2  # ref Notre Dame: 196.22s BA / ~40 LM iters
 
 # (n_cams, n_pts, solver, n_iters, metric_suffix)
-# PCG first: the dense_schur path is faster when it runs (~2.4x) but
-# its execution can crash the flaky tunneled TPU worker at this scale
-# (20-min recovery); the matrix-free PCG config completes reliably.
+# pcg_fast (bf16 matvec + Ceres-style constant eta=0.1 CG forcing)
+# first: dense_schur is faster when it runs (15.0 iters/s at 275 cams)
+# but its execution reliably crashes the flaky tunneled TPU worker at
+# 550 cams (20-min recovery); the matrix-free PCG configs complete.
+# The problem is perturbed off the optimum (bench_probe) so every
+# measured LM iteration does real descent work.
 # 30 LM iterations per run amortize the ~2s tunnel readback latency.
 CONFIGS = [
-    (550, 140_000, "pcg", 30, ""),
-    (275, 70_000, "pcg", 30, "_halfscale"),
-    (550, 140_000, "dense_schur", 30, "_dense"),
+    (550, 140_000, "pcg_fast", 30, ""),
+    (550, 140_000, "pcg", 30, "_exactcg"),
+    (275, 70_000, "pcg_fast", 30, "_halfscale"),
 ]
 
 PROBE = ("import jax, jax.numpy as jnp; "

@@ -37,7 +37,7 @@ def main():
     # compared to the reference's ~40 real Ceres iterations.
     import numpy as np
     prng = np.random.default_rng(7)
-    extr = np.asarray(prob.extrinsics)
+    extr = np.array(prob.extrinsics)
     extr[:, :3] += prng.normal(scale=0.05, size=(extr.shape[0], 3))
     extr[:, 3:] += prng.normal(scale=0.005, size=(extr.shape[0], 3))
     pts = np.asarray(prob.points) + prng.normal(
@@ -46,18 +46,36 @@ def main():
                          points=jnp.asarray(pts))
     prob = add_point_obs_map(prob)
     extra = {}
-    if solver.endswith("_nojr"):
-        solver = solver[:-len("_nojr")]
-        extra["jacobian_reuse"] = False
-    bf16 = solver.endswith("_bf16")
-    if bf16:
-        solver = solver[:-len("_bf16")]
+    # composable suffixes for differential benching
+    stripping = True
+    bf16 = False
+    while stripping:
+        stripping = False
+        for suf in ("_nojr", "_jr", "_bf16", "_cg1", "_cg10", "_nopre",
+                    "_eta"):
+            if solver.endswith(suf):
+                solver = solver[:-len(suf)]
+                stripping = True
+                if suf == "_nojr":
+                    extra["jacobian_reuse"] = False
+                elif suf == "_jr":
+                    extra["jacobian_reuse"] = True
+                elif suf == "_bf16":
+                    bf16 = True
+                elif suf == "_cg1":
+                    extra["cg_iterations"] = 1
+                elif suf == "_cg10":
+                    extra["cg_iterations"] = 10
+                elif suf == "_nopre":
+                    extra["preconditioner"] = "block_diag"
+                elif suf == "_eta":
+                    extra["cg_eta"] = 0.1
     if solver == "pcg_fast":
-        # inexact-step configuration: bf16 matvec + eta forcing +
-        # stale-preconditioner reuse on rejected steps
+        # inexact-step configuration: bf16 matvec + Ceres-style
+        # constant eta forcing
         solver = "pcg"
         bf16 = True
-        extra.update(cg_eta=0.1, precond_reuse=True)
+        extra.update(cg_eta=0.1)
     elif solver == "dense_schur_fast":
         # stale corr-block reuse on rejected steps
         solver = "dense_schur"

@@ -135,14 +135,19 @@ class BAOptions:
     # per-CG-iteration cost. The LM accept/reject loop guards against
     # the (slightly) inexact operator.
     matvec_bf16: bool = False
-    # Inexact-Newton forcing sequence: when > 0, CG terminates at
-    # ||r|| <= max(cg_tol, eta_k) * ||b|| with eta_0 = cg_eta and eta
-    # halved every LM iteration (floored at cg_tol). Early LM
-    # iterations get cheap loose solves, late ones full accuracy —
-    # Ceres' eta-based termination for ITERATIVE_SCHUR
-    # (ref BundleAdjustmentOptions uses Ceres defaults; Ceres
-    # Solver::Options::eta = 1e-1).
+    # Inexact-Newton forcing: when > 0, CG terminates at
+    # ||r|| <= max(cg_tol, cg_eta) * ||b|| — a CONSTANT per-iteration
+    # forcing tolerance, exactly Ceres' eta-based termination for
+    # ITERATIVE_SCHUR (Solver::Options::eta, default 1e-1; the
+    # reference runs Ceres defaults). The LM trust region absorbs the
+    # inexactness; measured: a tightening schedule wastes most of the
+    # benefit on late iterations.
     cg_eta: float = 0.0
+    # "schur_jacobi" (exact 6x6 diagonal blocks of S, ref Ceres
+    # SCHUR_JACOBI) or "block_diag" (plain damped Hcc/Hgg blocks — no
+    # per-observation assembly work, weaker preconditioning; Ceres'
+    # JACOBI is the scalar analog).
+    preconditioner: str = "schur_jacobi"
     # Carry residuals/jacobians (and the lambda-independent Hessian
     # blocks) across LM iterations so REJECTED steps skip the jacobian
     # pass entirely. MEASURED NET LOSS on v5e even on a reject-heavy
@@ -552,6 +557,12 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         # dims would tile-pad (8, 128), up to 28x HBM blowup at 10^6+
         # observations.
         def build_precond():
+            if opts.preconditioner == "block_diag":
+                Scc0 = Hcc + lam * _diagonal_only(Hcc) + \
+                    1e-10 * jnp.eye(6, dtype=dtype)
+                Sgg0 = Hgg + lam * _diagonal_only(Hgg) + \
+                    1e-10 * jnp.eye(P, dtype=dtype)
+                return jnp.linalg.inv(Scc0), jnp.linalg.inv(Sgg0)
             M_ = Jc_mv.shape[0]
             H9_mv = Hpp_inv.reshape(-1, 9)[prob.obs_pt].astype(
                 Jc_mv.dtype)
@@ -719,7 +730,6 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         lam = jnp.where(accept,
                         jnp.maximum(lam * 0.33, opts.min_lambda),
                         jnp.minimum(lam * 10.0, opts.max_lambda))
-        eta = jnp.maximum(eta * 0.5, opts.cg_tol)
         rel_decrease = (cost - new_cost) / jnp.maximum(cost, 1e-30)
         done = accept & (rel_decrease < opts.function_tolerance)
         cost = jnp.where(accept, new_cost, cost)
