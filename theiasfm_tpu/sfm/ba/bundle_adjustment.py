@@ -904,12 +904,30 @@ def _dense_schur_corr_fast(prob: BAProblem, Jc, Ji, Jp, Hpp_inv, seg_pt,
     outs.append(seg_cam_local(D36).reshape(Nc, 36))
     outs.append(jnp.zeros((1, 36), dtype))                 # pad target
     out_cat = jnp.concatenate(outs, axis=0)
-    acc = out_cat[prob.cam_pair_perm_fwd[:, 0]]
-    for s in range(1, prob.cam_pair_perm_fwd.shape[1]):
-        acc = acc + out_cat[prob.cam_pair_perm_fwd[:, s]]
-    rev = out_cat[prob.cam_pair_perm_rev[:, 0]]
-    for s in range(1, prob.cam_pair_perm_rev.shape[1]):
-        rev = rev + out_cat[prob.cam_pair_perm_rev[:, s]]
+
+    def perm_reduce(perm):
+        """sum_s out_cat[perm[:, s]] with the row gather CHUNKED: one
+        monolithic (Nc^2, S)-row gather hangs the TPU runtime at
+        ~300k+ rows (isolated & reproduced on v5e — the worker wedges
+        for ~20min); ~64k-row chunks behave."""
+        R, S = perm.shape
+        CH = 1 << 16
+        nch = -(-R // CH)
+        permp = (jnp.pad(perm, ((0, nch * CH - R), (0, 0)))
+                 if nch * CH != R else perm)
+
+        def chunk(i, acc):
+            pc = jax.lax.dynamic_slice_in_dim(permp, i * CH, CH, 0)
+            g = out_cat[pc[:, 0]]
+            for s in range(1, S):
+                g = g + out_cat[pc[:, s]]
+            return jax.lax.dynamic_update_slice(acc, g, (i * CH, 0))
+
+        out = jnp.zeros((nch * CH, 36), dtype)
+        return jax.lax.fori_loop(0, nch, chunk, out)[:R]
+
+    acc = perm_reduce(prob.cam_pair_perm_fwd)
+    rev = perm_reduce(prob.cam_pair_perm_rev)
     acc = acc + rev[:, _TRANS36]
     # ---- group-coupled corrections (single shared intrinsics group):
     # corr_cg[cam(k)] += T_k (sum_l Ug_l)^T ; corr_gg = sum_n GT_n GU_n^T
