@@ -3,7 +3,12 @@
 Usage: python scripts/bench_probe.py <n_cams> <n_pts> <solver> <n_iters> \
          [reps] [mode]
   solver: pcg | dense_schur | dense_schur_notables
-  mode:   run (default) | compile  (compile-only: no execution)
+  mode:   run (default) | compile (compile-only: no execution) |
+          matched (convergence-normalized: first converge an EXACT
+          solve to get the reference cost, then measure wall seconds
+          until the requested config reaches <= 1.001x that cost —
+          iterations of inexact and exact solves are not the same
+          unit, wall-time-to-matched-cost is)
 Prints one JSON line on success.
 """
 import json
@@ -92,6 +97,52 @@ def main():
                      point_indices_sorted=True,
                      matvec_bf16=bf16,
                      linear_solver=solver, **extra)
+
+    if mode == "matched":
+        import dataclasses
+        # 1) exact solve to convergence -> reference cost c*
+        exact = BAOptions(max_iterations=60, cg_iterations=100,
+                          cg_tol=1e-6, loss="huber", loss_scale=2.0,
+                          function_tolerance=1e-9,
+                          point_indices_sorted=True)
+        run_ex = jax.jit(lambda p: bundle_adjust(p, exact))
+        t0 = time.perf_counter()
+        _, s_ex = run_ex(prob)
+        c_star = float(s_ex.final_cost)
+        exact_total_s = time.perf_counter() - t0
+        target = 1.001 * c_star
+
+        def time_to_target(o):
+            o = dataclasses.replace(o, target_cost=target,
+                                    function_tolerance=0.0,
+                                    max_iterations=max(n_iters, 60))
+            r = jax.jit(lambda p: bundle_adjust(p, o))
+            out, s = r(prob)          # compile + first run
+            float(s.final_cost)
+            ts = []
+            for _ in range(reps):
+                t1 = time.perf_counter()
+                out, s = r(prob)
+                float(s.final_cost)
+                ts.append(time.perf_counter() - t1)
+            return (min(ts), int(s.num_iterations),
+                    float(s.final_cost))
+
+        t_cfg, it_cfg, c_cfg = time_to_target(opts)
+        t_exact, it_exact, c_exact = time_to_target(exact)
+        print(json.dumps({
+            "ok": True, "mode": "matched", "n_cams": n_cams,
+            "n_pts": n_pts, "solver": solver,
+            "c_star": c_star, "target": target,
+            "matched_cost_s": round(t_cfg, 3),
+            "matched_iters": it_cfg,
+            "matched_final_cost": c_cfg,
+            "exact_matched_cost_s": round(t_exact, 3),
+            "exact_matched_iters": it_exact,
+            "exact_total_first_run_s": round(exact_total_s, 1),
+            "reached": bool(c_cfg <= target),
+        }))
+        return
 
     run = jax.jit(lambda p: bundle_adjust(p, opts))
     t_c = time.perf_counter()

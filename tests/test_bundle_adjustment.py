@@ -302,6 +302,10 @@ def test_cg_forcing_and_precond_reuse_converge(rng):
     cost_before = float(ba_cost(noisy, base))
     assert float(s1.final_cost) < 1e-9 * cost_before, (
         float(s0.final_cost), float(s1.final_cost))
+    # and the inexact config must land in the same basin as the exact
+    # solve, not merely below an absolute threshold
+    assert float(s1.final_cost) <= 1.05 * float(s0.final_cost) + 1e-12, (
+        float(s0.final_cost), float(s1.final_cost))
 
 
 def test_precond_reuse_matches_exact_with_bf16(rng):
@@ -332,4 +336,6 @@ def test_dense_schur_corr_reuse_converges(rng):
     _, s1 = bundle_adjust(noisy, fast)
     cost_before = float(ba_cost(noisy, base))
     assert float(s1.final_cost) < 1e-9 * cost_before, (
+        float(s0.final_cost), float(s1.final_cost))
+    assert float(s1.final_cost) <= 1.05 * float(s0.final_cost) + 1e-12, (
         float(s0.final_cost), float(s1.final_cost))

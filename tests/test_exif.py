@@ -12,8 +12,49 @@ GPS_IMG = "/root/reference/data/image/gps_exif.jpg"
 def test_exif_focal_length():
     prior = ExifReader().extract_exif_metadata(EXIF_IMG)
     assert prior.image_width == 960 and prior.image_height == 1280
-    # ref exif_reader_test.cc:54 expects 1304.84
-    assert abs(prior.focal_length - 1304.84) < 0.5, prior.focal_length
+    # ref exif_reader_test.cc:54 expects 1304.84 within 0.1
+    assert abs(prior.focal_length - 1304.84) < 0.1, prior.focal_length
+
+
+def test_sensor_database_ships_complete():
+    """The packaged sensor-width DB must load by default with coverage
+    comparable to the reference's 3,619-entry compiled-in database
+    (ref data/camera_sensor_database.txt via CMakeLists.txt:50)."""
+    r = ExifReader()
+    assert len(r.sensors) >= 3000, len(r.sensors)
+    # spot checks across formats/makes (model key embeds the make,
+    # as in the reference DB)
+    assert abs(r.sensors["canon powershot a80"] - 7.11) < 1e-6
+    assert abs(r.sensors["canon digital ixus 40"] - 5.75) < 1e-6
+    assert abs(r.sensors["canon eos 5d mark ii"] - 36.0) < 1e-6
+    assert abs(r.sensors["nikon d90"] - 23.6) < 1e-6
+    assert abs(r.sensors["sony dsc-rx100"] - 13.2) < 1e-6
+    assert abs(r.sensors["panasonic dmc-lx3"] - 7.8) < 1e-6
+
+
+def test_sensor_database_focal_fallback_synthetic(tmp_path):
+    """A camera with no FocalPlane tags resolves its focal prior via
+    the DB: focal = max_dim * f_mm / sensor_width
+    (ref SetFocalLengthFromSensorDatabase, exif_reader.cc:266-294)."""
+    from PIL import Image
+    img = Image.new("RGB", (400, 300))
+    exif = Image.Exif()
+    exif[271] = "Canon"                     # Make
+    exif[272] = "Canon PowerShot A80"       # Model
+    path = str(tmp_path / "t.jpg")
+    img.save(path, exif=exif)
+    # write FocalLength into the Exif IFD via PIL round-trip
+    with Image.open(path) as im:
+        ex = im.getexif()
+        ex[271] = "Canon"
+        ex[272] = "Canon PowerShot A80"
+        ifd = ex.get_ifd(0x8769)
+        ifd[0x920A] = 7.8                   # FocalLength (mm)
+        im.save(path, exif=ex)
+    prior = ExifReader().extract_exif_metadata(path)
+    expected = 400 * 7.8 / 7.11
+    assert prior.focal_length is not None
+    assert abs(prior.focal_length - expected) < 1e-3, prior.focal_length
 
 
 def test_gps_exif():

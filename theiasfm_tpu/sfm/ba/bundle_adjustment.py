@@ -114,6 +114,23 @@ class BAOptions:
     optimize_cameras: bool = True
     optimize_points: bool = True
     function_tolerance: float = 1e-9
+    # Ruhe–Wedin coordinate-descent inner iterations (ref
+    # use_inner_iterations, bundle_adjustment.h:114 — the reference's
+    # DEFAULT is true, wired at bundle_adjuster.cc:69,196): after each
+    # candidate LM step, every point block is re-optimized with the
+    # cameras held fixed — a batched closed-form 3x3 GN sweep with a
+    # per-point cost guard (the guard makes each sweep monotone
+    # non-increasing in total cost, the same safeguard role as Ceres'
+    # per-block inner trust region). Value = number of GN sweeps per
+    # candidate step; 0 disables. Materially improves per-iteration
+    # cost reduction on hard scenes, matching Ceres' default behavior.
+    inner_iterations: int = 1
+    # Convergence-normalized benchmarking: when > 0, LM terminates as
+    # soon as the accepted cost drops to <= target_cost. Lets the bench
+    # measure wall time to a MATCHED cost (e.g. 1.001x the converged
+    # cost of an exact run) instead of raw iterations/s, which is not
+    # comparable across exact/inexact per-iteration solves.
+    target_cost: float = 0.0
     # set when obs_pt is non-decreasing (pad_ba_problem sorts): lets XLA
     # lower the big point-block segment reductions without full scatter
     point_indices_sorted: bool = False
@@ -137,9 +154,11 @@ class BAOptions:
     matvec_bf16: bool = False
     # Inexact-Newton forcing: when > 0, CG terminates at
     # ||r|| <= max(cg_tol, cg_eta) * ||b|| — a CONSTANT per-iteration
-    # forcing tolerance, exactly Ceres' eta-based termination for
-    # ITERATIVE_SCHUR (Solver::Options::eta, default 1e-1; the
-    # reference runs Ceres defaults). The LM trust region absorbs the
+    # forcing tolerance, analogous to Ceres' eta forcing for
+    # ITERATIVE_SCHUR (Solver::Options::eta, default 1e-1; Ceres uses a
+    # Q-based quadratic-model-decrease criterion with eta as
+    # q_tolerance, this uses a relative residual norm — comparable
+    # behavior, not identical). The LM trust region absorbs the
     # inexactness; measured: a tightening schedule wastes most of the
     # benefit on late iterations.
     cg_eta: float = 0.0
@@ -458,14 +477,14 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         return Hpp, Hcc, Hgg, gc, gg, gp
 
     def solve_normal_eqs(r, Jc, Ji, Jp, blocks, lam, P_state,
-                         rebuild_precond, eta):
+                         rebuild_precond):
         """One damped Schur/PCG solve.
 
         Returns (dc, di, dp, P_state). `blocks` are the
         lambda-independent pieces from make_blocks; `P_state` carries
         the (Pc_inv, Pg_inv) preconditioner across rejected steps when
-        opts.precond_reuse; `eta` is the dynamic CG forcing tolerance
-        (ignored unless opts.cg_eta > 0)."""
+        opts.precond_reuse. The CG forcing tolerance is the STATIC
+        max(opts.cg_tol, opts.cg_eta)."""
         Hpp, Hcc, Hgg, gc, gg, gp = blocks
         if opts.matvec_bf16:
             Jc_mv = Jc.astype(jnp.bfloat16)
@@ -624,8 +643,7 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         p_c, p_g = z_c, z_g
         rz = dot(r_c, r_g, z_c, z_g)
         b_norm = jnp.sqrt(dot(bc, bg, bc, bg))
-        tol_eff = (jnp.maximum(opts.cg_tol, eta) if opts.cg_eta > 0
-                   else opts.cg_tol)
+        tol_eff = max(opts.cg_tol, opts.cg_eta)
         tol2 = (tol_eff * b_norm) ** 2
 
         def cg_cond(st):
@@ -660,6 +678,62 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         dp = jnp.einsum("nij,nj->ni", Hpp_inv, -gp - hp)
         return dc, dg, dp, (Pc_inv, Pg_inv)
 
+    # --------------------------------------------------------- inner iters
+    def refine_points(extr, intr, pts):
+        """Ruhe–Wedin inner iterations: re-optimize every point block
+        with cameras fixed (ref use_inner_iterations,
+        bundle_adjustment.h:114). Batched 3x3 GN; a per-point cost
+        guard rejects non-improving point updates, so each sweep is
+        monotone non-increasing in the total cost."""
+        eye3 = jnp.eye(3, dtype=dtype)
+        extr_m = extr[prob.obs_cam]
+        intr_m = intr[prob.obs_group]
+
+        def f(e, i, p, pix):
+            r, _ = _residual_one(opts.model_type, e, i, p, pix)
+            return r
+
+        def res(pts_):
+            return jax.vmap(lambda e, i, p, pix: _residual_one(
+                opts.model_type, e, i, p, pix))(
+                extr_m, intr_m, pts_[prob.obs_pt], prob.obs_pix)
+
+        def per_obs_cost(r, bad):
+            s = jnp.sum(r * r, axis=-1)
+            w2 = robust_weight(opts.loss, s, opts.loss_scale) ** 2
+            return jnp.where(obs_valid,
+                             jnp.where(bad, 1e8, w2 * s), 0.0)
+
+        def sweep(_, carry):
+            pts_, c_pt = carry
+            pts_m = pts_[prob.obs_pt]
+            r, bad = res(pts_)
+            s = jnp.sum(r * r, axis=-1)
+            w = robust_weight(opts.loss, s, opts.loss_scale)
+            w = jnp.where(obs_valid & ~bad, w, 0.0)
+            Jp = jax.vmap(jax.jacrev(f, argnums=2))(
+                extr_m, intr_m, pts_m, prob.obs_pix)
+            Jp = Jp * w[:, None, None]
+            rw = r * w[:, None]
+            Hpp = seg_pt(jnp.einsum("mki,mkj->mij", Jp, Jp)) + \
+                1e-10 * eye3
+            gp = seg_pt(jnp.einsum("mki,mk->mi", Jp, rw))
+            dp_ = -jnp.einsum("nij,nj->ni", _inv3(Hpp), gp)
+            if prob.point_mask is not None:
+                dp_ = dp_ * prob.point_mask[:, None]
+            pts_c = pts_ + dp_
+            r2, bad2 = res(pts_c)
+            c_new = seg_pt(per_obs_cost(r2, bad2))
+            better = c_new < c_pt
+            return (jnp.where(better[:, None], pts_c, pts_),
+                    jnp.where(better, c_new, c_pt))
+
+        r0_, bad0_ = res(pts)
+        c0_ = seg_pt(per_obs_cost(r0_, bad0_))
+        pts, _ = jax.lax.fori_loop(0, opts.inner_iterations, sweep,
+                                   (pts, c0_))
+        return pts
+
     # ----------------------------------------------------------------- LM
     def cost_and_residuals(extr, intr, pts):
         """One residual pass: total robust cost AND the raw residuals
@@ -682,15 +756,21 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
     # psums) inside data-dependent control flow — always rebuild there.
     use_jac_reuse = opts.jacobian_reuse
     reuse_blocks = opts.axis_name is None and use_jac_reuse
-    use_precond_reuse = (opts.precond_reuse and reuse_blocks and
-                         opts.linear_solver in ("pcg", "dense_schur"))
+    # precond reuse is valid WITHOUT jacobian reuse: a rejected step
+    # leaves the parameters unchanged, so the rebuilt jacobians (and
+    # hence the undamped blocks the preconditioner is assembled from)
+    # are identical — only lambda differs, and a stale-lambda
+    # preconditioner affects CG convergence rate, never correctness.
+    use_precond_reuse = (opts.precond_reuse and opts.axis_name is None
+                         and opts.linear_solver in ("pcg",
+                                                    "dense_schur"))
 
     def lm_cond(st):
         return (st[0] < opts.max_iterations) & ~st[-1]
 
     def lm_body(st):
         (it, extr, intr, pts, lam, cost, r_cur, J_state, B_state,
-         P_state, eta, prev_accepted, done) = st
+         P_state, prev_accepted, done) = st
         # A REJECTED step leaves (extr, intr, pts, r_cur) unchanged —
         # the weighted residuals, jacobian blocks, AND the
         # lambda-independent Hessian blocks/gradients from the previous
@@ -716,10 +796,12 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
             blocks = make_blocks(r, Jc, Ji, Jp)
         rebuild = prev_accepted if use_precond_reuse else None
         dc, dg, dp, P_state = solve_normal_eqs(
-            r, Jc, Ji, Jp, blocks, lam, P_state, rebuild, eta)
+            r, Jc, Ji, Jp, blocks, lam, P_state, rebuild)
         extr_new = extr + dc
         intr_new = intr + _expand_dg(dg)
         pts_new = pts + dp
+        if opts.inner_iterations > 0 and opts.optimize_points:
+            pts_new = refine_points(extr_new, intr_new, pts_new)
         new_cost, r_new = cost_and_residuals(extr_new, intr_new,
                                              pts_new)
         accept = new_cost < cost
@@ -733,8 +815,10 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         rel_decrease = (cost - new_cost) / jnp.maximum(cost, 1e-30)
         done = accept & (rel_decrease < opts.function_tolerance)
         cost = jnp.where(accept, new_cost, cost)
+        if opts.target_cost > 0:
+            done = done | (cost <= opts.target_cost)
         return (it + 1, extr, intr, pts, lam, cost, r_cur, J_state,
-                B_state, P_state, eta, accept, done)
+                B_state, P_state, accept, done)
 
     M_obs_ = prob.obs_cam.shape[0]
     if use_jac_reuse:
@@ -768,8 +852,6 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
     st0 = (jnp.zeros((), jnp.int32), prob.extrinsics, prob.intrinsics,
            prob.points, jnp.asarray(opts.initial_lambda, dtype), cost0,
            r0_init, J_state0, B_state0, P_state0,
-           jnp.asarray(opts.cg_eta if opts.cg_eta > 0 else opts.cg_tol,
-                       dtype),
            jnp.ones((), bool), jnp.zeros((), bool))
     st = jax.lax.while_loop(lm_cond, lm_body, st0)
     it, extr, intr, pts, lam, cost = st[0], st[1], st[2], st[3], \

@@ -46,27 +46,49 @@ class ExifReader:
 
     def __init__(self, sensor_database_path: Optional[str] = None):
         self.sensors: Dict[str, float] = dict(_BUILTIN_SENSORS)
-        # external database (same line format as the public
-        # sensor-width databases / ref data/camera_sensor_database.txt);
-        # THEIASFM_SENSOR_DB env var supplies a default path
+        # The full database ships with the package (same role as the
+        # reference's compiled-in data/camera_sensor_database.txt,
+        # src/theia/CMakeLists.txt:50) and loads by default; an
+        # explicit path or THEIASFM_SENSOR_DB overrides/extends it.
+        packaged = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "data",
+            "camera_sensor_database.txt")
+        if os.path.exists(packaged):
+            self.load_sensor_database(packaged)
         sensor_database_path = (sensor_database_path or
                                 os.environ.get("THEIASFM_SENSOR_DB"))
         if sensor_database_path and os.path.exists(sensor_database_path):
             self.load_sensor_database(sensor_database_path)
 
     def load_sensor_database(self, path: str):
-        """Lines: <make+model words> <sensor_width_mm>."""
+        """Two accepted line formats:
+          "Make;Make Model;width_mm"  — the reference DB schema
+            (exif_reader.cc LoadSensorWidthDatabase; the model field
+            embeds the make and is the lookup key)
+          "<make+model words> width_mm" — whitespace fallback
+        Lines starting with '#' are comments."""
         with open(path) as f:
             for line in f:
-                parts = line.strip().split()
-                if len(parts) < 2:
+                line = line.strip()
+                if not line or line.startswith("#"):
                     continue
-                try:
-                    width = float(parts[-1])
-                except ValueError:
-                    continue
-                name = " ".join(parts[:-1]).lower()
-                self.sensors[name] = width
+                if ";" in line:
+                    parts = [p.strip() for p in line.split(";")]
+                    if len(parts) != 3:
+                        continue
+                    try:
+                        self.sensors[parts[1].lower()] = float(parts[2])
+                    except ValueError:
+                        continue
+                else:
+                    parts = line.split()
+                    if len(parts) < 2:
+                        continue
+                    try:
+                        width = float(parts[-1])
+                    except ValueError:
+                        continue
+                    self.sensors[" ".join(parts[:-1]).lower()] = width
 
     def extract_exif_metadata(self, image_path: str
                               ) -> CameraIntrinsicsPrior:
@@ -87,32 +109,53 @@ class ExifReader:
         focal_mm = tags.get("FocalLength")
         make = str(tags.get("Make", "")).strip().lower()
         model = str(tags.get("Model", "")).strip().lower()
-        name = f"{make} {model}".strip()
-        if model.startswith(make) and make:
-            name = model
+        make_model = f"{make} {model}".strip()
 
-        sensor_width = self.sensors.get(name) or self.sensors.get(model)
-        if sensor_width is None:
-            # FocalPlane*Resolution fallback (ref exif_reader.cc). The
-            # resolution refers to the ORIGINAL capture frame, whose
-            # width is ExifImageWidth (the stored image may be resized).
-            fpx = tags.get("FocalPlaneXResolution")
-            unit = tags.get("FocalPlaneResolutionUnit", 2)
-            capture_w = tags.get("ExifImageWidth", prior.image_width)
-            if fpx:
-                per_mm = {2: 25.4, 3: 10.0, 4: 1.0, 5: 0.001}.get(
-                    int(unit), 25.4)
-                try:
-                    sensor_width = float(capture_w) / float(fpx) * per_mm
-                except (ZeroDivisionError, TypeError):
-                    sensor_width = None
-
-        if focal_mm and sensor_width:
+        # 1) FocalPlane*Resolution path FIRST, exactly the reference's
+        # SetFocalLengthFromExif (exif_reader.cc:206-264): the CCD
+        # dimensions come from the ORIGINAL capture frame
+        # (PixelX/YDimension — the stored image may be resized), the
+        # focal is computed against the STORED width/height, and x/y
+        # estimates are averaged.
+        focal_px = None
+        fpx = tags.get("FocalPlaneXResolution")
+        fpy = tags.get("FocalPlaneYResolution")
+        unit = tags.get("FocalPlaneResolutionUnit", 2)
+        exif_w = tags.get("ExifImageWidth", prior.image_width)
+        exif_h = tags.get("ExifImageHeight", prior.image_height)
+        per_mm = {2: 25.4, 3: 10.0, 4: 1.0, 5: 0.001}.get(
+            int(unit or 2))
+        if focal_mm and fpx and fpy and per_mm and \
+                float(fpx) > 0 and float(fpy) > 0:
             try:
-                prior.focal_length = (float(focal_mm) / sensor_width *
-                                      prior.image_width)
-            except (TypeError, ZeroDivisionError):
-                pass
+                ccd_w = float(exif_w) / (float(fpx) / per_mm)
+                ccd_h = float(exif_h) / (float(fpy) / per_mm)
+                fx = float(focal_mm) * prior.image_width / ccd_w
+                fy = float(focal_mm) * prior.image_height / ccd_h
+                f = 0.5 * (fx + fy)
+                if np.isfinite(f) and f > 0:
+                    focal_px = f
+            except (ZeroDivisionError, TypeError):
+                focal_px = None
+
+        # 2) sensor-width database fallback, exactly the reference's
+        # SetFocalLengthFromSensorDatabase (exif_reader.cc:266-294):
+        # model-only key first (DB models embed the make), then
+        # "make model"; focal = max_image_dimension * f_mm / width.
+        if focal_px is None:
+            sensor_width = (self.sensors.get(model) or
+                            self.sensors.get(make_model))
+            if focal_mm and sensor_width:
+                try:
+                    f = (max(prior.image_width, prior.image_height) *
+                         float(focal_mm) / sensor_width)
+                    if np.isfinite(f) and f > 0:
+                        focal_px = f
+                except (TypeError, ZeroDivisionError):
+                    pass
+
+        if focal_px is not None:
+            prior.focal_length = focal_px
         prior.principal_point = (prior.image_width / 2.0,
                                  prior.image_height / 2.0)
 
