@@ -57,7 +57,7 @@ def main():
     while stripping:
         stripping = False
         for suf in ("_nojr", "_jr", "_bf16", "_cg1", "_cg10", "_nopre",
-                    "_eta"):
+                    "_eta", "_inner0", "_inner2"):
             if solver.endswith(suf):
                 solver = solver[:-len(suf)]
                 stripping = True
@@ -75,6 +75,10 @@ def main():
                     extra["preconditioner"] = "block_diag"
                 elif suf == "_eta":
                     extra["cg_eta"] = 0.1
+                elif suf == "_inner0":
+                    extra["inner_iterations"] = 0
+                elif suf == "_inner2":
+                    extra["inner_iterations"] = 2
     if solver == "pcg_fast":
         # inexact-step configuration: bf16 matvec + Ceres-style
         # constant eta forcing

@@ -288,6 +288,35 @@ def _inv3(A):
     return adj / det[..., None, None]
 
 
+def _inv3_flat(H9, eps_diag=0.0):
+    """Batched closed-form 3x3 inverse on FLAT (N, 9) row-major
+    storage (adjugate / det) — pure VPU column algebra, no (N, 3, 3)
+    tile-padded temporaries. Optionally adds eps_diag to the diagonal
+    before inverting."""
+    a, b, c = H9[:, 0], H9[:, 1], H9[:, 2]
+    d, e, f = H9[:, 3], H9[:, 4], H9[:, 5]
+    g, h, i = H9[:, 6], H9[:, 7], H9[:, 8]
+    if eps_diag:
+        a, e, i = a + eps_diag, e + eps_diag, i + eps_diag
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    return jnp.stack([A11, A12, A13, A21, A22, A23, A31, A32, A33],
+                     axis=-1) / det[:, None]
+
+
+_DIAG9 = np.zeros(9, np.float32)
+_DIAG9[[0, 4, 8]] = 1.0
+
+
 def bundle_adjust(prob: BAProblem, opts: BAOptions):
     """Run LM. Returns (BAProblem with updated params, BASummary).
 
@@ -452,67 +481,132 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
     def build_system(extr, intr, pts, r0):
         """r0: raw residuals at (extr, intr, pts) — reused from the
         previous accept/reject cost evaluation (one residual pass per
-        LM iteration instead of two)."""
+        LM iteration instead of two).
+
+        Returns FLAT per-observation arrays: r (M, 2), Jc (M, 12),
+        Ji (M, 2P), Jp (M, 6). Per-obs arrays are kept 2-D with the
+        small dims FLATTENED throughout the solver: XLA tile-pads the
+        last two dims of an (M, a, b) array to (8, 128) — an (M, 2, 6)
+        f32 temp inflates 10.7x and its bf16 twin 21x ((16, 128)
+        tiles) at 10^5-10^6 observations. Flat (M, F) pads only
+        F -> 128; all small per-row matrix algebra runs as
+        _flat_einsum expansion matmuls on the MXU."""
         p = prob._replace(extrinsics=extr, intrinsics=intr, points=pts)
         s = jnp.sum(r0 * r0, axis=-1)
         w = robust_weight(opts.loss, s, opts.loss_scale)
         w = jnp.where(obs_valid, w, 0.0)
         r, Jc, Ji, Jp = _all_jacobians(opts.model_type, p, w, r_raw=r0)
         Jc, Ji, Jp = _apply_masks(prob, opts, Jc, Ji, Jp)
-        return r, Jc, _compress_ji(Ji), Jp
+        Ji = _compress_ji(Ji)
+        M_ = r.shape[0]
+        return (r, Jc.reshape(M_, 12), Ji.reshape(M_, 2 * P),
+                Jp.reshape(M_, 6))
 
-    def make_blocks(r, Jc, Ji, Jp):
+    def make_blocks(r, Jc12, JiP, Jp6):
         """Lambda-INDEPENDENT pieces of the normal equations: undamped
         block-diagonal Hessian blocks and gradients. Computed once per
         accepted LM step and reused across rejected-step re-solves
-        (only the damping depends on lambda)."""
-        # (bf16 inputs here measured slightly SLOWER — the casts break
-        # XLA's einsum+segment_sum fusion; keep f32)
-        Hpp = seg_pt(jnp.einsum("mki,mkj->mij", Jp, Jp))   # (Np,3,3)
-        Hcc = seg_cam(jnp.einsum("mki,mkj->mij", Jc, Jc))  # (Nc,6,6)
-        Hgg = grp_contract("mki,mkj->mij", Ji, Ji)         # (Ng,P,P)
-        gc = seg_cam(jnp.einsum("mki,mk->mi", Jc, r))      # (Nc,6)
-        gg = grp_contract("mki,mk->mi", Ji, r)             # (Ng,P)
-        gp = seg_pt(jnp.einsum("mki,mk->mi", Jp, r))       # (Np,3)
-        return Hpp, Hcc, Hgg, gc, gg, gp
+        (only the damping depends on lambda).
 
-    def solve_normal_eqs(r, Jc, Ji, Jp, blocks, lam, P_state,
+        Point/camera-side products are assembled FLAT and the gradient
+        rides the same segment reduction as the Hessian blocks (one
+        reduction pass each over (M, 12) / (M, 42) instead of separate
+        rank-3 reductions over 28x-padded temporaries).
+
+        Returns Hpp as FLAT (Np, 9) — (Np, 3, 3) would tile-pad 28x
+        and it is re-read every CG iteration via Hpp_inv."""
+        Hpp9_m = _flat_einsum("ka,kb->ab", (2, 3), (2, 3), Jp6, Jp6)
+        gp3_m = _flat_einsum("ka,k->a", (2, 3), (2,), Jp6, r)
+        pt_blk = seg_pt(jnp.concatenate([Hpp9_m, gp3_m], axis=1))
+        Hpp9, gp = pt_blk[:, :9], pt_blk[:, 9:]
+        Hcc36_m = _flat_einsum("ka,kb->ab", (2, 6), (2, 6), Jc12, Jc12)
+        gc6_m = _flat_einsum("ka,k->a", (2, 6), (2,), Jc12, r)
+        cam_blk = seg_cam(jnp.concatenate([Hcc36_m, gc6_m], axis=1))
+        Hcc = cam_blk[:, :36].reshape(Nc, 6, 6)
+        gc = cam_blk[:, 36:]
+        if Ng == 1:
+            # observation axis folds into two small matmuls
+            X = _psum(jnp.dot(JiP.T, JiP,
+                              preferred_element_type=dtype)[None])[0]
+            Hgg = jnp.einsum("kpkq->pq",
+                             X.reshape(2, P, 2, P))[None]
+            Y = _psum(jnp.dot(JiP.T, r,
+                              preferred_element_type=dtype)[None])[0]
+            gg = jnp.einsum("kpk->p", Y.reshape(2, P, 2))[None]
+        else:
+            Ji3 = JiP.reshape(-1, 2, P)
+            Hgg = grp_contract("mki,mkj->mij", Ji3, Ji3)
+            gg = grp_contract("mki,mk->mi", Ji3, r)
+        return Hpp9, Hcc, Hgg, gc, gg, gp
+
+    def grp_reduce_flat(JiP_, t_):
+        """sum over obs of Ji^T t per group -> (Ng, P), flat inputs.
+        For Ng == 1 the observation axis folds into one small matmul
+        (no (M, P) temp); otherwise a flat per-obs product + seg_grp."""
+        if Ng == 1:
+            Z = _psum(jnp.dot(JiP_.T, t_.astype(JiP_.dtype),
+                              preferred_element_type=dtype)[None])[0]
+            return jnp.einsum("kpk->p", Z.reshape(2, P, 2))[None]
+        return seg_grp(_flat_einsum("kp,k->p", (2, P), (2,), JiP_,
+                                    t_, out_dtype=dtype))
+
+    def _vg_mat(vg1, dt):
+        """(2P, 2) block-diagonal matrix B with B[k*P+p, k] = vg1[p]:
+        JiP @ B == per-obs Ji·vg for the single shared intrinsics
+        group — one skinny matmul instead of an (M, P) gather."""
+        z = jnp.zeros((P,), dt)
+        v = vg1.astype(dt)
+        return jnp.stack([jnp.concatenate([v, z]),
+                          jnp.concatenate([z, v])], axis=1)
+
+    def backsub_points(Jc12, JiP, Jp6, dc, dg, Hpp_inv, gp):
+        """dp = Hpp^-1 (-gp - Hpc dc - Hpi dg), flat per-obs algebra."""
+        u = _flat_einsum("ki,i->k", (2, 6), (6,), Jc12,
+                         dc[prob.obs_cam])
+        if Ng == 1:
+            u = u + jnp.dot(JiP, _vg_mat(dg[0], JiP.dtype),
+                            preferred_element_type=dtype)
+        else:
+            u = u + _flat_einsum("kp,p->k", (2, P), (P,), JiP,
+                                 dg[prob.obs_group])
+        hp = seg_pt(_flat_einsum("ka,k->a", (2, 3), (2,), Jp6, u))
+        return _flat_einsum("ab,b->a", (3, 3), (3,), Hpp_inv,
+                            -gp - hp)
+
+    def solve_normal_eqs(r, Jc12, JiP, Jp6, blocks, lam, P_state,
                          rebuild_precond):
-        """One damped Schur/PCG solve.
+        """One damped Schur/PCG solve on FLAT per-obs arrays.
 
         Returns (dc, di, dp, P_state). `blocks` are the
-        lambda-independent pieces from make_blocks; `P_state` carries
-        the (Pc_inv, Pg_inv) preconditioner across rejected steps when
-        opts.precond_reuse. The CG forcing tolerance is the STATIC
-        max(opts.cg_tol, opts.cg_eta)."""
-        Hpp, Hcc, Hgg, gc, gg, gp = blocks
+        lambda-independent pieces from make_blocks (Hpp FLAT (Np, 9));
+        `P_state` carries the (Pc_inv, Pg_inv) preconditioner across
+        rejected steps when opts.precond_reuse. The CG forcing
+        tolerance is the STATIC max(opts.cg_tol, opts.cg_eta)."""
+        Hpp9, Hcc, Hgg, gc, gg, gp = blocks
         if opts.matvec_bf16:
-            Jc_mv = Jc.astype(jnp.bfloat16)
-            Ji_mv = Ji.astype(jnp.bfloat16)
-            Jp_mv = Jp.astype(jnp.bfloat16)
+            Jc_mv = Jc12.astype(jnp.bfloat16)
+            Ji_mv = JiP.astype(jnp.bfloat16)
+            Jp_mv = Jp6.astype(jnp.bfloat16)
         else:
-            Jc_mv, Ji_mv, Jp_mv = Jc, Ji, Jp
-
-        def _ee(expr, a, b):
-            return jnp.einsum(expr, a, b,
-                              preferred_element_type=dtype)
+            Jc_mv, Ji_mv, Jp_mv = Jc12, JiP, Jp6
 
         # --- damped point blocks. Hpp enters the REAL math (operator
-        # + back-substitution) — full precision.
-        Hpp_d = Hpp + lam * _diagonal_only(Hpp) + \
-            1e-12 * jnp.eye(3, dtype=dtype)
-        Hpp_inv = _inv3(Hpp_d)
+        # + back-substitution) — full precision, flat (Np, 9).
+        diag9 = jnp.asarray(_DIAG9, dtype)
+        Hpp_inv = _inv3_flat(Hpp9 * (1.0 + lam * diag9[None, :]),
+                             eps_diag=1e-12)               # (Np,9)
 
         # reduced RHS: b = -g_c + Hcp Hpp^-1 g_p  (for cam and group)
-        yp = jnp.einsum("nij,nj->ni", Hpp_inv, gp)         # (Np,3)
-        yp_m = yp[prob.obs_pt]
-        t = jnp.einsum("mkj,mj->mk", Jp, yp_m)             # (M,2)
-        bc = -gc + seg_cam(jnp.einsum("mki,mk->mi", Jc, t))
-        bg = -gg + grp_contract("mki,mk->mi", Ji, t)
+        yp = _flat_einsum("ab,b->a", (3, 3), (3,), Hpp_inv, gp)
+        t = _flat_einsum("kj,j->k", (2, 3), (3,), Jp6,
+                         yp[prob.obs_pt])                  # (M,2)
+        bc = -gc + seg_cam(_flat_einsum("ki,k->i", (2, 6), (2,),
+                                        Jc12, t))
+        bg = -gg + grp_reduce_flat(JiP, t)
 
         if opts.linear_solver == "dense_schur":
             def build_corr():
-                return _dense_schur_corr(prob, opts, Jc, Ji, Jp,
+                return _dense_schur_corr(prob, opts, Jc12, JiP, Jp6,
                                          Hpp_inv, _psum, seg_pt,
                                          seg_cam_local)
 
@@ -532,37 +626,41 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
             dc, dg = _dense_schur_factor_solve(
                 prob, opts, Hcc, Hgg, bc, bg, lam,
                 corr_cc_flat, corr_cg, corr_gg, Hcg)
-            u = (jnp.einsum("mki,mi->mk", Jc, dc[prob.obs_cam]) +
-                 jnp.einsum("mki,mi->mk", Ji, dg[prob.obs_group]))
-            hp = seg_pt(jnp.einsum("mki,mk->mi", Jp, u))
-            dp = jnp.einsum("nij,nj->ni", Hpp_inv, -gp - hp)
+            dp = backsub_points(Jc12, JiP, Jp6, dc, dg, Hpp_inv, gp)
             # only carry the (large) corr blocks when reuse is on
             return dc, dg, dp, (corr_state if rebuild_precond is not None
                                 else P_state)
 
-        # --- matrix-free S @ v. The two camera-side (and group-side)
-        # reductions fuse algebraically: seg(J^T u) - seg(J^T u2)
-        # == seg(J^T (u - u2)) — one segment_sum each instead of two
-        # (the reductions are the HBM-bound part of the matvec).
+        # camera/group damping diagonals (small, precomputed once)
+        diag_c = lam * jnp.einsum("nii->ni", Hcc)          # (Nc,6)
+        diag_g = lam * jnp.einsum("nii->ni", Hgg)          # (Ng,P)
+
+        # --- matrix-free S @ v on FLAT per-obs arrays. The two
+        # camera-side (and group-side) reductions fuse algebraically:
+        # seg(J^T u) - seg(J^T u2) == seg(J^T (u - u2)) — one segment
+        # reduction each instead of two (the reductions are the
+        # HBM-bound part of the matvec).
         def S_matvec(vc, vg):
-            u = (_ee("mki,mi->mk", Jc_mv, vc[prob.obs_cam].astype(
-                     Jc_mv.dtype)) +
-                 _ee("mki,mi->mk", Ji_mv, vg[prob.obs_group].astype(
-                     Ji_mv.dtype)))                        # (M,2) f32
-            wp = seg_pt(_ee("mki,mk->mi", Jp_mv,
-                            u.astype(Jp_mv.dtype)))        # (Np,3)
-            zp = jnp.einsum("nij,nj->ni", Hpp_inv, wp)
-            u2 = _ee("mkj,mj->mk", Jp_mv,
-                     zp[prob.obs_pt].astype(Jp_mv.dtype))
-            d = (u - u2).astype(Jc_mv.dtype)
-            yc = seg_cam(_ee("mki,mk->mi", Jc_mv, d))
-            yg = grp_contract("mki,mk->mi", Ji_mv, d)
+            u = _flat_einsum("ki,i->k", (2, 6), (6,), Jc_mv,
+                             vc[prob.obs_cam], out_dtype=dtype)
+            if Ng == 1:
+                u = u + jnp.dot(Ji_mv, _vg_mat(vg[0], Ji_mv.dtype),
+                                preferred_element_type=dtype)
+            else:
+                u = u + _flat_einsum("kp,p->k", (2, P), (P,), Ji_mv,
+                                     vg[prob.obs_group],
+                                     out_dtype=dtype)      # (M,2) f32
+            wp = seg_pt(_flat_einsum("ka,k->a", (2, 3), (2,), Jp_mv,
+                                     u, out_dtype=dtype))  # (Np,3)
+            zp = _flat_einsum("ab,b->a", (3, 3), (3,), Hpp_inv, wp)
+            u2 = _flat_einsum("kj,j->k", (2, 3), (3,), Jp_mv,
+                              zp[prob.obs_pt], out_dtype=dtype)
+            d = u - u2
+            yc = seg_cam(_flat_einsum("ki,k->i", (2, 6), (2,), Jc_mv,
+                                      d, out_dtype=dtype))
+            yg = grp_reduce_flat(Ji_mv, d)
             # damping on the camera/group diagonal
-            yc = yc + lam * jnp.einsum(
-                "nij,nj->ni", _diagonal_only(Hcc), vc)
-            yg = yg + lam * jnp.einsum(
-                "nij,nj->ni", _diagonal_only(Hgg), vg)
-            return yc, yg
+            return yc + diag_c * vc, yg + diag_g * vg
 
         # --- SCHUR_JACOBI preconditioner (exact 6x6 diag blocks of S for
         # cameras; group blocks approximate — both only precondition).
@@ -582,12 +680,9 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
                 Sgg0 = Hgg + lam * _diagonal_only(Hgg) + \
                     1e-10 * jnp.eye(P, dtype=dtype)
                 return jnp.linalg.inv(Scc0), jnp.linalg.inv(Sgg0)
-            M_ = Jc_mv.shape[0]
-            H9_mv = Hpp_inv.reshape(-1, 9)[prob.obs_pt].astype(
-                Jc_mv.dtype)
+            H9_mv = Hpp_inv[prob.obs_pt].astype(Jc_mv.dtype)
             U18_mv = _flat_einsum("ka,kc->ac", (2, 6), (2, 3),
-                                  Jc_mv.reshape(M_, 12),
-                                  Jp_mv.reshape(M_, 6))    # J_c^T J_p
+                                  Jc_mv, Jp_mv)            # J_c^T J_p
             T18_mv = _flat_einsum("ac,ce->ae", (6, 3), (3, 3),
                                   U18_mv, H9_mv)           # U Hpp^-1
             D_m = _flat_einsum("ac,bc->ab", (6, 3), (6, 3), T18_mv,
@@ -598,8 +693,7 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
             Pc_inv = jnp.linalg.inv(Scc)
             if Ng == 1:
                 Ug_mv = _flat_einsum("kp,kc->pc", (2, P), (2, 3),
-                                     Ji_mv.reshape(M_, 2 * P),
-                                     Jp_mv.reshape(M_, 6))  # (M,3P)
+                                     Ji_mv, Jp_mv)          # (M,3P)
                 Tg_mv = _flat_einsum("pc,ce->pe", (P, 3), (3, 3),
                                      Ug_mv, H9_mv)
                 G2 = jnp.dot(Tg_mv.T, Ug_mv,
@@ -607,13 +701,13 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
                 Sgg_corr = _psum(jnp.einsum(
                     "pcqc->pq", G2.reshape(P, 3, P, 3))[None])
             else:
-                Hpp_inv_m = Hpp_inv[prob.obs_pt].astype(Jc_mv.dtype)
-                Wg = _ee("mki,mkj->mij", Jp_mv, Ji_mv)     # (M,3,P)
-                HWg = _ee("mij,mjk->mik", Hpp_inv_m,
-                          Wg.astype(Jc_mv.dtype))          # (M,3,P)
-                Sgg_corr = grp_contract("mji,mjk->mik",
-                                        Wg.astype(Jc_mv.dtype),
-                                        HWg.astype(Jc_mv.dtype))
+                Wg = _flat_einsum("kc,kp->cp", (2, 3), (2, P),
+                                  Jp_mv, Ji_mv)            # (M,3P)
+                HWg = _flat_einsum("dc,cp->dp", (3, 3), (3, P),
+                                   H9_mv, Wg)              # (M,3P)
+                Sgg_corr = seg_grp(_flat_einsum(
+                    "cp,cq->pq", (3, P), (3, P), Wg, HWg,
+                    out_dtype=dtype)).reshape(Ng, P, P)
             Sgg = Hgg + lam * _diagonal_only(Hgg) - Sgg_corr + \
                 1e-10 * jnp.eye(P, dtype=dtype)
             Pg_inv = jnp.linalg.inv(Sgg)
@@ -670,12 +764,7 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         st = (jnp.zeros((), jnp.int32), x_c, x_g, r_c, r_g, p_c, p_g, rz)
         st = jax.lax.while_loop(cg_cond, cg_body, st)
         dc, dg = st[1], st[2]
-
-        # back-substitute points: dp = Hpp^-1 (-gp - Hpc dc - Hpi dg)
-        u = (jnp.einsum("mki,mi->mk", Jc, dc[prob.obs_cam]) +
-             jnp.einsum("mki,mi->mk", Ji, dg[prob.obs_group]))
-        hp = seg_pt(jnp.einsum("mki,mk->mi", Jp, u))
-        dp = jnp.einsum("nij,nj->ni", Hpp_inv, -gp - hp)
+        dp = backsub_points(Jc12, JiP, Jp6, dc, dg, Hpp_inv, gp)
         return dc, dg, dp, (Pc_inv, Pg_inv)
 
     # --------------------------------------------------------- inner iters
@@ -685,7 +774,6 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         bundle_adjustment.h:114). Batched 3x3 GN; a per-point cost
         guard rejects non-improving point updates, so each sweep is
         monotone non-increasing in the total cost."""
-        eye3 = jnp.eye(3, dtype=dtype)
         extr_m = extr[prob.obs_cam]
         intr_m = intr[prob.obs_group]
 
@@ -713,12 +801,16 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
             w = jnp.where(obs_valid & ~bad, w, 0.0)
             Jp = jax.vmap(jax.jacrev(f, argnums=2))(
                 extr_m, intr_m, pts_m, prob.obs_pix)
-            Jp = Jp * w[:, None, None]
+            Jp6 = (Jp * w[:, None, None]).reshape(-1, 6)   # flat
             rw = r * w[:, None]
-            Hpp = seg_pt(jnp.einsum("mki,mkj->mij", Jp, Jp)) + \
-                1e-10 * eye3
-            gp = seg_pt(jnp.einsum("mki,mk->mi", Jp, rw))
-            dp_ = -jnp.einsum("nij,nj->ni", _inv3(Hpp), gp)
+            # Hessian + gradient ride ONE flat segment reduction
+            Hpp9_m = _flat_einsum("ka,kb->ab", (2, 3), (2, 3),
+                                  Jp6, Jp6)
+            gp3_m = _flat_einsum("ka,k->a", (2, 3), (2,), Jp6, rw)
+            blk = seg_pt(jnp.concatenate([Hpp9_m, gp3_m], axis=1))
+            Hinv = _inv3_flat(blk[:, :9], eps_diag=1e-10)
+            dp_ = -_flat_einsum("ab,b->a", (3, 3), (3,), Hinv,
+                                blk[:, 9:])
             if prob.point_mask is not None:
                 dp_ = dp_ * prob.point_mask[:, None]
             pts_c = pts_ + dp_
@@ -823,13 +915,13 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
     M_obs_ = prob.obs_cam.shape[0]
     if use_jac_reuse:
         J_state0 = (jnp.zeros((M_obs_, 2), dtype),
-                    jnp.zeros((M_obs_, 2, 6), dtype),
-                    jnp.zeros((M_obs_, 2, P), dtype),
-                    jnp.zeros((M_obs_, 2, 3), dtype))
+                    jnp.zeros((M_obs_, 12), dtype),
+                    jnp.zeros((M_obs_, 2 * P), dtype),
+                    jnp.zeros((M_obs_, 6), dtype))
     else:
         J_state0 = (jnp.zeros((0,), dtype),) * 4
     if reuse_blocks:
-        B_state0 = (jnp.zeros((Np, 3, 3), dtype),
+        B_state0 = (jnp.zeros((Np, 9), dtype),
                     jnp.zeros((Nc, 6, 6), dtype),
                     jnp.zeros((Ng, P, P), dtype),
                     jnp.zeros((Nc, 6), dtype),
@@ -940,8 +1032,8 @@ def _pair_expand_mats(dtype):
 _TRANS36 = np.arange(36).reshape(6, 6).T.reshape(-1)  # 6a+b <-> 6b+a
 
 
-def _dense_schur_corr_fast(prob: BAProblem, Jc, Ji, Jp, Hpp_inv, seg_pt,
-                           seg_cam_local, dtype):
+def _dense_schur_corr_fast(prob: BAProblem, Jc12, Ji2P, Jp6, Hpp_inv,
+                           seg_pt, seg_cam_local, dtype):
     """Schur correction blocks via the static camera-pair tables
     (Ng == 1 fast path; see add_cam_pair_tables).
 
@@ -953,16 +1045,13 @@ def _dense_schur_corr_fast(prob: BAProblem, Jc, Ji, Jp, Hpp_inv, seg_pt,
     is a per-camera segment reduction of the per-obs blocks; the lower
     triangle comes from symmetry. The class results are redistributed
     into (Nc*Nc, 36) by two permutation GATHERS — zero scatters.
+
+    All inputs arrive FLAT: Jc12 (M, 12), Ji2P (M, 2P), Jp6 (M, 6),
+    Hpp_inv (Np, 9).
     """
     Nc = prob.extrinsics.shape[0]
-    P = Ji.shape[2]   # active-compressed group-param count
-    M = prob.obs_cam.shape[0]
-    # everything per-observation lives in FLAT (M, F) layout; the small
-    # per-row matrix products are _flat_einsum expansion matmuls
-    Jc12 = Jc.reshape(M, 12)                               # (2,6) rows
-    Ji2P = Ji.reshape(M, 2 * P)                            # (2,P)
-    Jp6 = Jp.reshape(M, 6)                                 # (2,3)
-    H9_m = Hpp_inv.reshape(-1, 9)[prob.obs_pt]             # (3,3) rows
+    P = Ji2P.shape[1] // 2   # active-compressed group-param count
+    H9_m = Hpp_inv[prob.obs_pt]                            # (3,3) rows
     U18 = _flat_einsum("ka,kc->ac", (2, 6), (2, 3), Jc12, Jp6,
                        out_dtype=dtype)                    # J_c^T J_p
     T18 = _flat_einsum("ac,ce->ae", (6, 3), (3, 3), U18, H9_m,
@@ -1160,9 +1249,13 @@ def add_cam_pair_tables(prob: BAProblem,
     return out
 
 
-def _dense_schur_corr(prob: BAProblem, opts: BAOptions, Jc, Ji, Jp,
+def _dense_schur_corr(prob: BAProblem, opts: BAOptions, Jc12, JiP, Jp6,
                       Hpp_inv, _psum, seg_pt=None, seg_cam_local=None):
     """Assemble the correction blocks of the reduced camera system.
+
+    Per-obs inputs arrive FLAT (Jc12 (M, 12), JiP (M, 2P), Jp6 (M, 6),
+    Hpp_inv (Np, 9)); the chunked generic path views them rank-3
+    locally (chunk temporaries are bounded).
 
     S = [Hcc  Hcg] - [Hcp] Hpp^-1 [Hpc Hpg]
         [Hgc  Hgg]   [Hgp]
@@ -1197,20 +1290,18 @@ def _dense_schur_corr(prob: BAProblem, opts: BAOptions, Jc, Ji, Jp,
             "build_point_obs_map=True)")
     Nc = prob.extrinsics.shape[0]
     Ng = prob.intrinsics.shape[0]
-    P = Ji.shape[2]   # active-compressed group-param count
+    P = JiP.shape[1] // 2   # active-compressed group-param count
     dtype = prob.points.dtype
 
     # Hcg (lambda-independent; exact even when reused)
     if Ng == 1 and seg_cam_local is not None:
-        M_ = Jc.shape[0]
         Hcg_flat = _flat_einsum("ka,kb->ab", (2, 6), (2, P),
-                                Jc.reshape(M_, 12),
-                                Ji.reshape(M_, 2 * P),
-                                out_dtype=dtype)           # (M,6P)
+                                Jc12, JiP, out_dtype=dtype)  # (M,6P)
         Hcg = _psum(seg_cam_local(Hcg_flat)).reshape(Nc, Ng, 6, P)
     else:
         Hcg = _psum(jax.ops.segment_sum(
-            jnp.einsum("mka,mkb->mab", Jc, Ji),
+            _flat_einsum("ka,kb->ab", (2, 6), (2, P), Jc12, JiP,
+                         out_dtype=dtype),
             prob.obs_cam * Ng + prob.obs_group,
             num_segments=Nc * Ng).reshape(Nc, Ng, 6, P))
 
@@ -1221,12 +1312,14 @@ def _dense_schur_corr(prob: BAProblem, opts: BAOptions, Jc, Ji, Jp,
             seg_pt is not None and seg_cam_local is not None):
         # scatter-free assembly via static camera-pair gather tables
         acc_cc, corr_cg, corr_gg = _dense_schur_corr_fast(
-            prob, Jc, Ji, Jp, Hpp_inv, seg_pt, seg_cam_local, dtype)
+            prob, Jc12, JiP, Jp6, Hpp_inv, seg_pt, seg_cam_local,
+            dtype)
         return (_psum(acc_cc), _psum(corr_cg), _psum(corr_gg), Hcg)
 
-    # per-obs camera-point and group-point coupling blocks
-    U = jnp.einsum("mka,mkb->mab", Jc, Jp)                 # (M,6,3)
-    Ug = jnp.einsum("mka,mkb->mab", Ji, Jp)                # (M,P,3)
+    # per-obs camera-point and group-point coupling blocks (flat rows;
+    # the chunked loop below views the gathered chunks rank-3)
+    U = _flat_einsum("ka,kb->ab", (2, 6), (2, 3), Jc12, Jp6)  # (M,18)
+    Ug = _flat_einsum("ka,kb->ab", (2, P), (2, 3), JiP, Jp6)  # (M,3P)
 
     # The per-point pair blocks are assembled in CHUNKS of points under
     # a fori_loop: an unchunked (Np, K, K, 6, 6) temporary would be
@@ -1255,9 +1348,11 @@ def _dense_schur_corr(prob: BAProblem, opts: BAOptions, Jc, Ji, Jp,
         sl = lambda x: jax.lax.dynamic_slice_in_dim(x, i * CH, CH)
         ic, vc = sl(idx_p), sl(val_p)
         camc, grpc = sl(camn_p), sl(grpn_p)
-        Uc = U[ic] * vc[..., None, None]                   # (CH,K,6,3)
-        Ugc = Ug[ic] * vc[..., None, None]                 # (CH,K,P,3)
-        Hi = sl(Hppi_p)                                    # (CH,3,3)
+        Uc = (U[ic].reshape(CH, K, 6, 3) *
+              vc[..., None, None])                         # (CH,K,6,3)
+        Ugc = (Ug[ic].reshape(CH, K, P, 3) *
+               vc[..., None, None])                        # (CH,K,P,3)
+        Hi = sl(Hppi_p).reshape(CH, 3, 3)                  # (CH,3,3)
         T = jnp.einsum("nkab,nbc->nkac", Uc, Hi)           # (CH,K,6,3)
         Bcc = jnp.einsum("nkac,nlbc->nklab", T, Uc,
                          preferred_element_type=dtype)     # (CH,K,K,6,6)

@@ -275,6 +275,64 @@ def ransac(key, spec: MinimalSolverSpec, data, options: RansacOptions,
     return best_model, summary
 
 
+def ransac_adaptive(key, spec: MinimalSolverSpec, data,
+                    options: RansacOptions, data_mask=None,
+                    num_data=None, sort_order=None, sample_weights=None,
+                    min_hypotheses: int = 32):
+    """Bucketed adaptive termination around the one-shot engine.
+
+    The reference's sequential loop stops as soon as the iteration
+    count k satisfies k >= log(delta) / log(1 - w^s) for the current
+    inlier ratio w (ref sample_consensus_estimator.h:148+ —
+    max_iterations update after every better model). A sequential loop
+    is hostile to XLA, but the same adaptive *compute* profile is
+    recovered with geometrically growing hypothesis buckets: run the
+    batched engine with H = 32, 128, 512, ... (each bucket hits the
+    jit cache), and stop when the cumulative budget satisfies the same
+    bound for the best model found so far. Easy problems (high w) exit
+    after the first bucket — matching the reference's small adaptive
+    iteration counts — while hard ones escalate to
+    options.num_hypotheses.
+
+    Returns (best_model, RansacSummary) where num_hypotheses is the
+    total budget actually spent and confidence is the cumulative
+    1 - (1 - w^s)^H_total.
+    """
+    import math
+
+    H_max = options.num_hypotheses
+    H = min(min_hypotheses, H_max)
+    delta = options.failure_probability
+    best_model, best_summary = None, None
+    total_H = 0
+    while True:
+        key, sub = jax.random.split(key)
+        opts_b = dataclasses.replace(options, num_hypotheses=H)
+        model, summary = ransac(sub, spec, data, opts_b,
+                                data_mask=data_mask, num_data=num_data,
+                                sort_order=sort_order,
+                                sample_weights=sample_weights)
+        total_H += H
+        if (best_summary is None or
+                int(summary.num_inliers) > int(best_summary.num_inliers)):
+            best_model, best_summary = model, summary
+        # cumulative confidence for the best-so-far inlier ratio —
+        # the reference's termination bound evaluated at total_H
+        n_tot = (num_data if num_data is not None else
+                 int(jnp.sum(data_mask)) if data_mask is not None else
+                 jax.tree_util.tree_leaves(data)[0].shape[0])
+        w = float(best_summary.num_inliers) / max(int(n_tot), 1)
+        ws = min(w ** spec.sample_size, 1.0 - 1e-12)
+        conf = 1.0 - math.exp(total_H * math.log1p(-ws))
+        if conf >= 1.0 - delta or total_H >= H_max:
+            break
+        H = min(H * 4, H_max - total_H)
+    summary = best_summary._replace(
+        num_hypotheses=total_H,
+        confidence=jnp.asarray(conf, jnp.float32))
+    return best_model, summary
+
+
 def hypotheses_for_confidence(sample_size: int, inlier_ratio: float,
                               failure_probability: float = 0.01) -> int:
     """Static helper: hypothesis budget H s.t. P(no all-inlier sample) <
