@@ -91,6 +91,58 @@ def prepare_scene(max_pairs_corrs=2000):
     return recon, graph
 
 
+def _aligned_errors(recon):
+    gt = read_theia_reconstruction(GT)
+    est_pos, gt_pos = [], []
+    for vid, v in recon.views.items():
+        if not v.is_estimated:
+            continue
+        gvid = gt.view_id_from_name(v.name)
+        gv = gt.view(gvid)
+        est_pos.append(v.camera.position)
+        gt_pos.append(gv.camera.position)
+    est_pos = np.stack(est_pos)
+    gt_pos = np.stack(gt_pos)
+    s, R, t = align_reconstructions_robust(est_pos, gt_pos)
+    return np.linalg.norm(s * est_pos @ R.T + t - gt_pos, axis=1)
+
+
+@pytest.mark.slow
+def test_fountain11_global():
+    """Real-data gate for the GLOBAL pipeline on the fountain-11
+    fixture (the reference gates incremental+hybrid on this fixture,
+    incremental_reconstruction_estimator_test.cc:60-155 /
+    hybrid_reconstruction_estimator_test.cc:155 with
+    kPositionToleranceMeters = 1e-2; same bar here)."""
+    from theiasfm_tpu.sfm.pipeline import (GlobalOptions,
+                                           global_reconstruction)
+    recon, graph = prepare_scene()
+    summary = global_reconstruction(recon, graph, GlobalOptions())
+    assert summary["success"], summary
+    assert summary["num_estimated_views"] >= 10, summary
+    err = _aligned_errors(recon)
+    print(f"fountain11 global: median {np.median(err)*1000:.2f}mm "
+          f"max {err.max()*1000:.2f}mm")
+    assert np.median(err) < 0.010, f"median {np.median(err)*1000:.1f}mm"
+
+
+@pytest.mark.slow
+def test_fountain11_hybrid():
+    """Real-data gate for the HYBRID pipeline
+    (ref hybrid_reconstruction_estimator_test.cc:155-170,
+    kPositionToleranceMeters = 1e-2)."""
+    from theiasfm_tpu.sfm.pipeline import (HybridOptions,
+                                           hybrid_reconstruction)
+    recon, graph = prepare_scene()
+    summary = hybrid_reconstruction(recon, graph, HybridOptions())
+    assert summary["success"], summary
+    assert summary["num_estimated_views"] >= 10, summary
+    err = _aligned_errors(recon)
+    print(f"fountain11 hybrid: median {np.median(err)*1000:.2f}mm "
+          f"max {err.max()*1000:.2f}mm")
+    assert np.median(err) < 0.010, f"median {np.median(err)*1000:.1f}mm"
+
+
 @pytest.mark.slow
 def test_fountain11_incremental():
     recon, graph = prepare_scene()

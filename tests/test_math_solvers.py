@@ -42,6 +42,47 @@ def test_constrained_l1(rng):
     assert np.linalg.norm(x - x_true) < 0.05
 
 
+def _ref_qp():
+    """The reference's rigged QP (qp_solver_test.cc:44-56):
+    unconstrained minimum at (3, 5, 7)."""
+    P = np.array([[5., -2, -1], [-2, 4, 3], [-1, 3, 5]])
+    q = np.array([2., -35, -47])
+    return P, q
+
+
+def test_qp_admm_unbounded():
+    """ref qp_solver_test.cc TEST(QPSolver, Unbounded)."""
+    from theiasfm_tpu.math.l1_solver import QPSolver
+    P, q = _ref_qp()
+    x = np.asarray(QPSolver(P, q, r=5.0, max_num_iterations=300)
+                   .solve())
+    np.testing.assert_allclose(x, [3, 5, 7], atol=1e-3)
+
+
+def test_qp_admm_loose_bounds():
+    """ref qp_solver_test.cc TEST(QPSolver, LooseBounds): bounds that
+    do not bind leave the unconstrained optimum."""
+    from theiasfm_tpu.math.l1_solver import QPSolver
+    P, q = _ref_qp()
+    s = QPSolver(P, q, r=5.0, max_num_iterations=300)
+    s.set_lower_bound([0, 0, 0])
+    s.set_upper_bound([10, 10, 10])
+    np.testing.assert_allclose(np.asarray(s.solve()), [3, 5, 7],
+                               atol=1e-3)
+
+
+def test_qp_admm_tight_bounds():
+    """ref qp_solver_test.cc TEST(QPSolver, TightBounds): binding
+    lower bounds (5, 7, 9) clamp the solution."""
+    from theiasfm_tpu.math.l1_solver import QPSolver
+    P, q = _ref_qp()
+    s = QPSolver(P, q, r=5.0, max_num_iterations=1000)
+    s.set_lower_bound([5, 7, 9])
+    s.set_upper_bound([10, 12, 14])
+    np.testing.assert_allclose(np.asarray(s.solve()), [5, 7, 9],
+                               atol=1e-3)
+
+
 def test_qp_box(rng):
     n = 6
     M = rng.normal(size=(n, n))

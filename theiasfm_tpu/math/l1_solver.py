@@ -79,9 +79,61 @@ def constrained_l1_solve(A, b, C, d, iters: int = 200, rho: float = 1.0):
 
 
 @partial(jax.jit, static_argnames=("iters",))
+def qp_solve_admm(P, q, lo, hi, iters: int = 1000, rho: float = 1.0,
+                  alpha: float = 1.0):
+    """min_x 0.5 x^T P x + q^T x  s.t.  lo <= x <= hi — the
+    reference's QPSolver algorithm exactly (src/theia/math/qp_solver.h
+    / qp_solver.cc: ADMM after Boyd's quadprog, one Cholesky
+    factorization of P + rho*I reused every iteration, over-relaxation
+    alpha, clip-to-box z update, scaled dual u). Use +/-inf bounds for
+    unbounded coordinates (the reference's defaults)."""
+    n = P.shape[0]
+    factor = cho_factor(P + rho * jnp.eye(n, dtype=P.dtype))
+
+    def body(_, st):
+        x, z, u = st
+        x = cho_solve(factor, rho * (z - u) - q)
+        x_hat = alpha * x + (1.0 - alpha) * z
+        z = jnp.clip(x_hat + u, lo, hi)
+        u = u + x_hat - z
+        return (x, z, u)
+
+    z0 = jnp.clip(jnp.zeros(n, P.dtype), lo, hi)
+    x, z, _ = jax.lax.fori_loop(
+        0, iters, body, (z0, z0, jnp.zeros(n, P.dtype)))
+    return jnp.clip(z, lo, hi)
+
+
+class QPSolver:
+    """Object-style wrapper mirroring ref QPSolver (qp_solver.h:66-94):
+    minimize 0.5 x'Px + q'x + r subject to lb <= x <= ub."""
+
+    def __init__(self, P, q, r=0.0, max_num_iterations: int = 1000,
+                 rho: float = 1.0, alpha: float = 1.0):
+        self.P, self.q, self.r = jnp.asarray(P), jnp.asarray(q), r
+        self.iters = max_num_iterations
+        self.rho, self.alpha = rho, alpha
+        n = self.P.shape[0]
+        self.lb = jnp.full((n,), -jnp.inf, self.P.dtype)
+        self.ub = jnp.full((n,), jnp.inf, self.P.dtype)
+
+    def set_lower_bound(self, lb):
+        self.lb = jnp.asarray(lb, self.P.dtype)
+
+    def set_upper_bound(self, ub):
+        self.ub = jnp.asarray(ub, self.P.dtype)
+
+    def solve(self):
+        return qp_solve_admm(self.P, self.q, self.lb, self.ub,
+                             iters=self.iters, rho=self.rho,
+                             alpha=self.alpha)
+
+
+@partial(jax.jit, static_argnames=("iters",))
 def qp_solve_box(P, q, lo, hi, iters: int = 200):
     """min_x 0.5 x^T P x + q^T x  s.t.  lo <= x <= hi  (projected
-    gradient with Nesterov momentum). ref: src/theia/math/qp_solver.h.
+    gradient with Nesterov momentum — faster than ADMM when a loose
+    solution suffices). ref: src/theia/math/qp_solver.h.
     """
     L = jnp.linalg.norm(P, ord=2) + 1e-9  # Lipschitz bound
     step = 1.0 / L
