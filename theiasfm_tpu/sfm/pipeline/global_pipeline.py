@@ -47,8 +47,13 @@ class GlobalOptions:
     cycle_max_loop_error_degrees: float = 5.0
     rotation_filtering_max_difference_degrees: float = 5.0
     # 'nonlinear' | 'lud' | 'linear_triplet'
-    # (ref: PositionEstimatorType{NONLINEAR, LUD, LINEAR_TRIPLET})
-    position_estimator: str = "nonlinear"
+    # (ref: GlobalPositionEstimatorType; the reference DEFAULT is
+    # LEAST_UNSQUARED_DEVIATION, reconstruction_estimator_options.h:90
+    # — the convex LUD has no spurious minima, unlike the chordal
+    # nonlinear objective which can fold chain scenes; measured on
+    # fountain-11: LUD position error 0.1-0.5% of baseline vs 3-13%
+    # for the chordal GN)
+    position_estimator: str = "lud"
     # 'robust_l1l2' | 'nonlinear' | 'linear'
     # (ref: GlobalRotationEstimatorType{ROBUST_L1L2, NONLINEAR, LINEAR})
     rotation_estimator: str = "robust_l1l2"
