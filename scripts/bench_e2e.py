@@ -28,6 +28,8 @@ def main():
     n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 18
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
 
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     from theiasfm_tpu.image import SiftOptions
     from theiasfm_tpu.sfm.reconstruction_builder import (
         ReconstructionBuilder, ReconstructionBuilderOptions)

@@ -57,7 +57,7 @@ def main():
     while stripping:
         stripping = False
         for suf in ("_nojr", "_jr", "_bf16", "_cg1", "_cg10", "_nopre",
-                    "_eta", "_inner0", "_inner2"):
+                    "_eta", "_inner0", "_inner2", "_pallas"):
             if solver.endswith(suf):
                 solver = solver[:-len(suf)]
                 stripping = True
@@ -79,6 +79,8 @@ def main():
                     extra["inner_iterations"] = 0
                 elif suf == "_inner2":
                     extra["inner_iterations"] = 2
+                elif suf == "_pallas":
+                    extra["pallas_matvec"] = True
     if solver == "pcg_fast":
         # inexact-step configuration: bf16 matvec + Ceres-style
         # constant eta forcing
@@ -94,6 +96,12 @@ def main():
         solver = "dense_schur"
     if use_tables:
         prob = add_cam_pair_tables(prob)
+    if extra.get("pallas_matvec"):
+        from theiasfm_tpu.sfm.ba.bundle_adjustment import (
+            add_pallas_matvec_plan, pad_obs_to_multiple)
+        blk = 1024 if bf16 or solver == "pcg_fast" else 512
+        prob = add_pallas_matvec_plan(
+            pad_obs_to_multiple(prob, blk), block=blk)
 
     opts = BAOptions(max_iterations=n_iters,
                      loss="huber", loss_scale=2.0,

@@ -34,3 +34,23 @@ def test_akaze_translation_matching(rng):
     d = kp2[idx2[sel], :2] - kp1[sel, :2]
     good = (np.abs(d - shift) < 2.0).all(axis=-1)
     assert good.mean() > 0.7, good.mean()
+
+
+def test_fed_tau_schedule_properties():
+    """FED cycle: taus sum exactly to T, early steps exceed tau_max
+    (super-stable), n matches the Grewenig cycle-length formula
+    (ref vendored akaze fed.cpp fed_tau_by_cycle_time)."""
+    import math
+    import numpy as np
+    from theiasfm_tpu.image.akaze import _fed_tau_schedule
+
+    for T in (0.3, 1.0, 4.7, 12.0):
+        taus = _fed_tau_schedule(T, 0.25)
+        assert abs(taus.sum() - T) < 1e-9 * max(T, 1)
+        n = len(taus)
+        assert n >= math.ceil(math.sqrt(3 * T / 0.25 + 0.25) - 0.5 - 1e-6)
+        assert np.all(taus > 0)
+        # the largest step in a multi-step cycle exceeds the single-step
+        # stability limit — the whole point of FED
+        if n > 2:
+            assert taus.max() > 0.25

@@ -1,0 +1,105 @@
+"""Fused Pallas Schur-matvec vs the reference einsum math
+(interpret mode on CPU; the real kernel path is exercised on TPU by
+scripts/bench_probe.py's pcg_pallas config)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from theiasfm_tpu.sfm.ba.pallas_matvec import (FusedMatvec, MatvecPlan,
+                                               pack_compact)
+
+
+def _rand_problem(rng, M=1024, Nc=12, Np=100, P=1, B=256):
+    obs_pt = np.sort(rng.integers(0, Np, M)).astype(np.int32)
+    obs_cam = rng.integers(0, Nc, M).astype(np.int32)
+    Jc = rng.normal(size=(M, 12)).astype(np.float32)
+    Ji = rng.normal(size=(M, 2 * P)).astype(np.float32)
+    Jp = rng.normal(size=(M, 6)).astype(np.float32)
+    vc = rng.normal(size=(Nc, 6)).astype(np.float32)
+    vg = rng.normal(size=(P,)).astype(np.float32)
+    zp = rng.normal(size=(Np, 3)).astype(np.float32)
+    return obs_cam, obs_pt, Jc, Ji, Jp, vc, vg, zp
+
+
+def _vgmat(vg, P):
+    z = np.zeros((P,), np.float32)
+    return jnp.asarray(np.stack([np.concatenate([vg, z]),
+                                 np.concatenate([z, vg])], axis=1))
+
+
+def test_fused_matvec_matches_einsum():
+    rng = np.random.default_rng(0)
+    M, Nc, Np, P, B = 1024, 12, 100, 1, 256
+    obs_cam, obs_pt, Jc, Ji, Jp, vc, vg, zp = _rand_problem(
+        rng, M, Nc, Np, P, B)
+    plan = MatvecPlan(obs_cam, obs_pt, Nc, Np, block=B)
+    fm = FusedMatvec(plan, P, interpret=True)
+
+    jc_c = pack_compact(jnp.asarray(Jc))
+    ji_c = pack_compact(jnp.asarray(Ji))
+    jp_c = pack_compact(jnp.asarray(Jp))
+    vc_pad = jnp.zeros((plan.cam_pad, 6), jnp.float32).at[:Nc].set(vc)
+    u_c, wp = fm.pass1(jc_c, ji_c, jp_c, vc_pad, _vgmat(vg, P))
+
+    # reference math
+    Jc3 = Jc.reshape(M, 2, 6)
+    Ji3 = Ji.reshape(M, 2, P)
+    Jp3 = Jp.reshape(M, 2, 3)
+    u_ref = (np.einsum("mki,i->mk", Jc3, np.zeros(6)) +
+             np.einsum("mki,mi->mk", Jc3, vc[obs_cam]) +
+             np.einsum("mkp,p->mk", Ji3, vg))
+    np.testing.assert_allclose(
+        np.asarray(u_c).reshape(M, 2), u_ref, rtol=2e-5, atol=2e-5)
+    wp_ref = np.zeros((Np, 3))
+    np.add.at(wp_ref, obs_pt,
+              np.einsum("mkc,mk->mc", Jp3, u_ref))
+    np.testing.assert_allclose(np.asarray(wp)[:Np], wp_ref,
+                               rtol=3e-4, atol=3e-4)
+
+    # pass 2
+    zp_pad = jnp.zeros((plan.Np_pad, 3), jnp.float32).at[:Np].set(zp)
+    yc, yg = fm.pass2(jc_c, ji_c, jp_c, u_c, zp_pad)
+    u2_ref = np.einsum("mkc,mc->mk", Jp3, zp[obs_pt])
+    d_ref = u_ref - u2_ref
+    yc_ref = np.zeros((Nc, 6))
+    np.add.at(yc_ref, obs_cam,
+              np.einsum("mki,mk->mi", Jc3, d_ref))
+    np.testing.assert_allclose(np.asarray(yc)[:Nc, :6], yc_ref,
+                               rtol=3e-4, atol=3e-4)
+    zg_ref = np.einsum("mkp,mk->pk", Ji3, d_ref)  # (P, 2) -> want 2P,2
+    zg_full = np.einsum("mf,mk->fk", Ji, d_ref)   # (2P, 2)
+    np.testing.assert_allclose(np.asarray(yg)[:2 * P, :2], zg_full,
+                               rtol=3e-4, atol=3e-4)
+    # yg reduced: sum_k Ji[m, k, p] d[m, k] == zg_full[kP+p, k] summed
+    yg_ref = np.einsum("mkp,mk->p", Ji3, d_ref)
+    got = np.asarray(yg)[:2 * P, :2].reshape(2, P, 2)
+    got_p = got[0, :, 0] + got[1, :, 1]
+    np.testing.assert_allclose(got_p, yg_ref, rtol=3e-4, atol=3e-4)
+
+
+def test_bundle_adjust_pallas_matvec_matches_xla():
+    """Full LM solve with the fused Pallas matvec (interpret mode off
+    TPU) must track the XLA matvec path."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _make_problem
+    from theiasfm_tpu.sfm.ba import BAOptions, bundle_adjust
+    from theiasfm_tpu.sfm.ba.bundle_adjustment import (
+        add_pallas_matvec_plan, pad_obs_to_multiple)
+
+    prob = _make_problem(n_cams=12, n_pts=256, obs_per_pt=4,
+                         dtype=jnp.float32)
+    prob = add_pallas_matvec_plan(pad_obs_to_multiple(prob, 512),
+                                  block=512)
+    base = BAOptions(max_iterations=8, cg_iterations=20,
+                     loss="huber", loss_scale=2.0,
+                     function_tolerance=0.0, point_indices_sorted=True)
+    import dataclasses
+    _, s0 = bundle_adjust(prob, base)
+    _, s1 = bundle_adjust(
+        prob, dataclasses.replace(base, pallas_matvec=True))
+    np.testing.assert_allclose(float(s1.final_cost),
+                               float(s0.final_cost), rtol=1e-3)
+    assert float(s1.final_cost) < 0.5 * float(s1.initial_cost)

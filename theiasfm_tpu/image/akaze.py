@@ -35,7 +35,28 @@ class AkazeOptions:
     sublevels: int = 4
     detector_threshold: float = 0.001
     max_features_per_octave: int = 512
-    diffusion_steps_per_level: int = 6
+    # stability limit of one explicit 2-D diffusion step; the FED
+    # schedule (below) takes varying super-stable steps whose CYCLE is
+    # stable, exactly the vendored lib's scheme
+    fed_tau_max: float = 0.25
+
+
+def _fed_tau_schedule(T: float, tau_max: float = 0.25):
+    """Fast Explicit Diffusion step sizes for one cycle covering
+    diffusion time T (Grewenig/Weickert FED, as used by the reference's
+    vendored AKAZE: fed.cpp fed_tau_by_cycle_time). A cycle of n steps
+    tau_j = tau_max / (2 cos^2(pi (2j+1) / (4n + 2))) is stable as a
+    whole even though individual steps exceed tau_max; n is chosen so
+    the cycle time n(n+1)/3 * tau_max covers T, then the taus are
+    scaled to sum exactly to T. Returns a host numpy array (static)."""
+    import math
+    n = max(1, int(math.ceil(
+        math.sqrt(3.0 * T / tau_max + 0.25) - 0.5 - 1e-8)))
+    c = 1.0 / (4.0 * n + 2.0)
+    taus = np.asarray([
+        tau_max / (2.0 * math.cos(math.pi * (2 * j + 1) * c) ** 2)
+        for j in range(n)])
+    return taus * (T / taus.sum())
 
 
 def _gradients_scharr(img):
@@ -52,9 +73,11 @@ def _gradients_scharr(img):
     return conv(img, kx), conv(img, ky)
 
 
-def _diffuse_level(L, k_contrast, tau, steps: int):
-    """Explicit Perona-Malik G2 diffusion: L += tau * div(g ∇L)."""
-    def step(_, L):
+def _diffuse_level(L, k_contrast, taus):
+    """Explicit Perona-Malik G2 diffusion, one FED cycle:
+    L += tau_i * div(g ∇L) with the super-stable step schedule from
+    _fed_tau_schedule (taus: static (n,) jnp array)."""
+    def step(i, L):
         lx, ly = _gradients_scharr(L)
         g = 1.0 / (1.0 + (lx * lx + ly * ly) / (k_contrast ** 2))
         # divergence of g * grad via central differences
@@ -62,9 +85,9 @@ def _diffuse_level(L, k_contrast, tau, steps: int):
         gy = g * ly
         div = (0.5 * (jnp.roll(gx, -1, 1) - jnp.roll(gx, 1, 1)) +
                0.5 * (jnp.roll(gy, -1, 0) - jnp.roll(gy, 1, 0)))
-        return L + tau * div
+        return L + taus[i] * div
 
-    return jax.lax.fori_loop(0, steps, step, L)
+    return jax.lax.fori_loop(0, taus.shape[0], step, L)
 
 
 def _hessian_response(L, sigma):
@@ -164,10 +187,10 @@ def _extract_device(image, opts: AkazeOptions, octave_shapes):
             sigmas.append(sigma * (2 ** o))
             t_prev = 0.5 * (1.6 * 2.0 ** ((s - 1) / S)) ** 2 if s else 0.5
             t_cur = 0.5 * sigma ** 2
-            tau = (t_cur - t_prev) / opts.diffusion_steps_per_level
-            levels.append(_diffuse_level(levels[-1], k_contrast,
-                                         jnp.minimum(tau, 0.25),
-                                         opts.diffusion_steps_per_level))
+            taus = jnp.asarray(_fed_tau_schedule(
+                max(t_cur - t_prev, 1e-6), opts.fed_tau_max),
+                image.dtype)
+            levels.append(_diffuse_level(levels[-1], k_contrast, taus))
         L = jnp.stack(levels[1:])                   # (S, Ho, Wo)
         resp = jnp.stack([_hessian_response(L[s], 1.6 * 2.0 ** (s / S))
                           for s in range(S)])

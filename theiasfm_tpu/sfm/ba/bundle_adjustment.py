@@ -74,6 +74,12 @@ class BAProblem(NamedTuple):
     # iters/s at Notre-Dame scale) — experimental knob, off by default.
     cam_sort_perm: Optional[jnp.ndarray] = None   # (M,) int32
     obs_cam_sorted: Optional[jnp.ndarray] = None  # (M,) int32
+    # Fused Pallas matvec plan (add_pallas_matvec_plan): per-tile
+    # camera ids, window-local point ids, and window starts for the
+    # sorted-segment accumulation (see pallas_matvec.py).
+    pmv_cam_tiles: Optional[jnp.ndarray] = None   # (G, B) int32
+    pmv_lpt_tiles: Optional[jnp.ndarray] = None   # (G, B) int32
+    pmv_p0: Optional[jnp.ndarray] = None          # (G,) int32
     # Camera-PAIR gather tables for the dense-Schur assembly
     # (add_cam_pair_tables): tuple of (kidx, lidx, valid) arrays, one
     # per count class; (P_c, cap) observation indices of per-point
@@ -167,6 +173,13 @@ class BAOptions:
     # per-observation assembly work, weaker preconditioning; Ceres'
     # JACOBI is the scalar analog).
     preconditioner: str = "schur_jacobi"
+    # Run the CG matvec's two observation sweeps as fused Pallas
+    # kernels over compact (zero-padding) buffers instead of XLA ops
+    # over (M, 128)-lane-padded temporaries (see pallas_matvec.py).
+    # Requires Ng == 1, point-sorted observations, no shard_map axis,
+    # and the plan arrays attached by add_pallas_matvec_plan —
+    # silently falls back to the XLA matvec otherwise.
+    pallas_matvec: bool = False
     # Carry residuals/jacobians (and the lambda-independent Hessian
     # blocks) across LM iterations so REJECTED steps skip the jacobian
     # pass entirely. MEASURED NET LOSS on v5e even on a reject-heavy
@@ -655,6 +668,41 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         diag_c = lam * jnp.einsum("nii->ni", Hcc)          # (Nc,6)
         diag_g = lam * jnp.einsum("nii->ni", Hgg)          # (Ng,P)
 
+        use_pallas_mv = (opts.pallas_matvec and Ng == 1 and
+                         opts.axis_name is None and
+                         prob.pmv_p0 is not None and
+                         dtype == jnp.float32)
+        if use_pallas_mv:
+            from .pallas_matvec import (FusedMatvec, PlanShapes,
+                                        pack_compact)
+            G_, B_ = prob.pmv_cam_tiles.shape
+            shapes = PlanShapes(G_, B_, Nc, Np)
+            fm = FusedMatvec(
+                shapes, P, mv_dtype=Jc_mv.dtype,
+                interpret=jax.default_backend() != "tpu",
+                cam_tiles=prob.pmv_cam_tiles,
+                lpt_tiles=prob.pmv_lpt_tiles, p0=prob.pmv_p0)
+            jc_cp = pack_compact(Jc_mv)
+            ji_cp = pack_compact(Ji_mv)
+            jp_cp = pack_compact(Jp_mv)
+
+            def S_matvec_pallas(vc, vg):
+                vc_pad = jnp.zeros((shapes.cam_pad, 6),
+                                   jnp.float32).at[:Nc].set(vc)
+                vgm = _vg_mat(vg[0], jnp.float32)
+                u_c, wp_pad = fm.pass1(jc_cp, ji_cp, jp_cp, vc_pad,
+                                       vgm)
+                zp = _flat_einsum("ab,b->a", (3, 3), (3,), Hpp_inv,
+                                  wp_pad[:Np])
+                zp_pad = jnp.zeros((shapes.Np_pad, 3),
+                                   jnp.float32).at[:Np].set(zp)
+                yc_p, yg_p = fm.pass2(jc_cp, ji_cp, jp_cp, u_c,
+                                      zp_pad)
+                yc = yc_p[:Nc, :6]
+                g2 = yg_p[:2 * P, :2].reshape(2, P, 2)
+                yg = (g2[0, :, 0] + g2[1, :, 1])[None]
+                return yc + diag_c * vc, yg + diag_g * vg
+
         # --- matrix-free S @ v on FLAT per-obs arrays. The two
         # camera-side (and group-side) reductions fuse algebraically:
         # seg(J^T u) - seg(J^T u2) == seg(J^T (u - u2)) — one segment
@@ -681,6 +729,9 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
             yg = grp_reduce_flat(Ji_mv, d)
             # damping on the camera/group diagonal
             return yc + diag_c * vc, yg + diag_g * vg
+
+        if use_pallas_mv:
+            S_matvec = S_matvec_pallas  # noqa: F811
 
         # --- SCHUR_JACOBI preconditioner (exact 6x6 diag blocks of S for
         # cameras; group blocks approximate — both only precondition).
@@ -1478,6 +1529,43 @@ def _dense_schur_factor_solve(prob: BAProblem, opts: BAOptions,
     dc = x[:Dc].reshape(Nc, 6)
     dg = x[Dc:].reshape(Ng, P)
     return dc, dg
+
+
+def pad_obs_to_multiple(prob: BAProblem, multiple: int) -> BAProblem:
+    """Append masked observations so M % multiple == 0 (keeps obs_pt
+    non-decreasing by repeating the last point index). Host-side."""
+    M = prob.obs_cam.shape[0]
+    pad = (-M) % multiple
+    if pad == 0:
+        return prob
+    last_pt = int(np.asarray(prob.obs_pt[-1])) if M else 0
+
+    def padrows(x, fill):
+        full = jnp.full((pad,) + x.shape[1:], fill, x.dtype)
+        return jnp.concatenate([x, full])
+
+    return prob._replace(
+        obs_cam=padrows(prob.obs_cam, 0),
+        obs_group=padrows(prob.obs_group, 0),
+        obs_pt=padrows(prob.obs_pt, last_pt),
+        obs_pix=padrows(prob.obs_pix, 0.0),
+        obs_mask=padrows(prob.obs_mask, False))
+
+
+def add_pallas_matvec_plan(prob: BAProblem,
+                           block: int = 512) -> BAProblem:
+    """Attach the fused Pallas matvec tile arrays (host-side; see
+    pallas_matvec.py). Requires point-sorted observations and
+    M % block == 0 (use pad_obs_to_multiple first). The solver uses
+    them when BAOptions.pallas_matvec is set."""
+    from .pallas_matvec import MatvecPlan
+    plan = MatvecPlan(np.asarray(prob.obs_cam),
+                      np.asarray(prob.obs_pt),
+                      prob.extrinsics.shape[0], prob.points.shape[0],
+                      block=block)
+    return prob._replace(pmv_cam_tiles=jnp.asarray(plan.cam_tiles),
+                         pmv_lpt_tiles=jnp.asarray(plan.local_pt),
+                         pmv_p0=jnp.asarray(plan.tile_p0))
 
 
 def add_point_obs_map(prob: BAProblem, bucket_min: int = 4) -> BAProblem:

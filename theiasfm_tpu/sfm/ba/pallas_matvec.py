@@ -1,0 +1,312 @@
+"""Pallas fused Schur-complement matvec for the BA CG loop.
+
+The XLA formulation of S @ v (bundle_adjustment.py S_matvec) pays the
+(8, 128) tile-padding tax on every per-observation temporary: each
+(M, F<128) array costs a full (M, 128) HBM pass, and one CG iteration
+materializes ~8 of them (~2.5 GB at Notre-Dame scale). This module
+runs the two observation sweeps as Pallas kernels over COMPACT
+buffers:
+
+  * per-obs jacobians are reshaped once per solve from their padded
+    (M, F) form to (M*F/128, 128) — zero padding — and each kernel
+    tile views them back as (B, F) in VMEM;
+  * camera-state gathers vc[obs_cam] become one-hot matmuls on the MXU
+    (cameras are few; the (B, Nc) one-hot lives only in VMEM);
+  * the point reductions exploit observation sorting: each tile of B
+    observations touches a contiguous point window of at most B
+    points, accumulated via a LOCAL one-hot matmul and added into the
+    global output with an in-kernel HBM read-modify-write (the TPU
+    grid is sequential, so cross-tile accumulation is race-free; the
+    output aliases a zero-filled input for initialization);
+  * the camera-side reduction accumulates into a persistent VMEM
+    scratch across the whole grid and is written out at the last tile.
+
+Preconditions (see bundle_adjustment's use): single shared intrinsics
+group (Ng == 1), observations sorted by point, no shard_map axis,
+M divisible by the block size.
+
+ref role: the hot loop of Ceres ITERATIVE_SCHUR's implicit Schur
+matvec (ref bundle_adjustment.h:84-96); design per the TPU kernel
+playbook (one-hot MXU gathers, sequential-grid accumulation).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def pack_compact(x, dtype=None):
+    """(M, F) -> (M*F//128, 128) zero-padding layout (one relayout
+    pass; M*F must divide 128 — guaranteed by pad_ba_problem's
+    256-multiple observation bucketing for F in {2, 6, 12})."""
+    M, F = x.shape
+    if dtype is not None:
+        x = x.astype(dtype)
+    assert (M * F) % 128 == 0, (M, F)
+    return x.reshape(M * F // 128, 128)
+
+
+class MatvecPlan:
+    """Host-side static per-problem data for the fused matvec."""
+
+    def __init__(self, obs_cam, obs_pt, n_cams, n_pts, block=512):
+        obs_cam = np.asarray(obs_cam)
+        obs_pt = np.asarray(obs_pt)
+        M = obs_cam.shape[0]
+        assert M % block == 0, (M, block)
+        assert np.all(np.diff(obs_pt) >= 0), "obs must be point-sorted"
+        self.M, self.B = M, block
+        self.G = M // block
+        self.Nc = n_cams
+        self.Np = n_pts
+        self.W = block  # point window per tile (sorted: <= B distinct)
+        self.Np_pad = _round_up(n_pts + self.W, 8)
+        p0 = obs_pt[:: block].astype(np.int32)
+        self.tile_p0 = np.minimum(p0, self.Np_pad - self.W)
+        self.cam_pad = _round_up(n_cams, 8)
+        rel = (obs_pt.reshape(self.G, block) - self.tile_p0[:, None])
+        assert (rel >= 0).all() and (rel < self.W).all(), "window"
+        self.local_pt = rel.astype(np.int32)
+        self.cam_tiles = obs_cam.reshape(self.G, block).astype(np.int32)
+
+
+class PlanShapes:
+    """Shape-only plan view for FusedMatvec when the tile arrays come
+    from BAProblem fields (jit-side path)."""
+
+    def __init__(self, G, B, Nc, Np):
+        self.G, self.B, self.W = G, B, B
+        self.M = G * B
+        self.Nc, self.Np = Nc, Np
+        self.cam_pad = _round_up(Nc, 8)
+        self.Np_pad = _round_up(Np + B, 8)
+
+
+def _onehot_T_matmul(ids, width, vals):
+    """sum_b [ids[b] == w] * vals[b, f] -> (width, F), f32 accum."""
+    oh = (ids[:, None] ==
+          jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+          ).astype(vals.dtype)
+    return jax.lax.dot_general(
+        oh, vals, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _gather_rows(table, ids, width):
+    """table[ids] (B, F) via one-hot matmul, f32 result."""
+    oh = (ids[:, None] ==
+          jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+          ).astype(table.dtype)
+    return jax.lax.dot_general(
+        oh, table, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _pass1_kernel(B, W, Ncp, P, mv_dtype,
+                  p0_ref, cam_ref, lpt_ref, jc_ref, ji_ref, jp_ref,
+                  vc_ref, vgmat_ref, wp_in_ref, u_ref, wp_ref):
+    """u = Jc vc[cam] + Ji vg ; wp[window] += onehot^T (Jp^T u)."""
+    i = pl.program_id(0)
+    jc = jc_ref[...].reshape(B, 12)
+    jp = jp_ref[...].reshape(B, 6)
+    ji = ji_ref[...].reshape(B, 2 * P)
+    cam = cam_ref[0, :]
+    lpt = lpt_ref[0, :]
+    vc_m = _gather_rows(vc_ref[...], cam, Ncp).astype(mv_dtype)
+    u0 = jnp.sum((jc[:, 0:6] * vc_m).astype(jnp.float32), axis=1)
+    u1 = jnp.sum((jc[:, 6:12] * vc_m).astype(jnp.float32), axis=1)
+    ug = jax.lax.dot_general(
+        ji, vgmat_ref[...].astype(ji.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (B, 2)
+    u = jnp.stack([u0, u1], axis=1) + ug
+    u_ref[...] = u.reshape(u_ref.shape)
+    um = u.astype(mv_dtype)
+    t = ((jp[:, 0:3] * um[:, 0:1] +
+          jp[:, 3:6] * um[:, 1:2])).astype(jnp.float32)  # (B, 3)
+    part = _onehot_T_matmul(lpt, W, t)                   # (W, 3)
+
+    def rmw(buf, dma_sem):
+        p0 = p0_ref[i]
+        cp = pltpu.make_async_copy(
+            wp_ref.at[pl.ds(p0, W), :], buf, dma_sem)
+        cp.start()
+        cp.wait()
+        buf[...] = buf[...] + part
+        cp2 = pltpu.make_async_copy(
+            buf, wp_ref.at[pl.ds(p0, W), :], dma_sem)
+        cp2.start()
+        cp2.wait()
+
+    pl.run_scoped(rmw, pltpu.VMEM((W, 3), jnp.float32),
+                  pltpu.SemaphoreType.DMA(()))
+
+
+def _pass2_kernel(B, W, Ncp, P, mv_dtype,
+                  p0_ref, cam_ref, lpt_ref, jc_ref, ji_ref, jp_ref,
+                  u_ref, zp_ref, yc_ref, yg_ref, acc_c, acc_g):
+    """d = u - Jp zp[pt]; yc += onehot(cam)^T (Jc^T d); yg += Ji^T d."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_c[...] = jnp.zeros_like(acc_c)
+        acc_g[...] = jnp.zeros_like(acc_g)
+
+    jc = jc_ref[...].reshape(B, 12)
+    jp = jp_ref[...].reshape(B, 6)
+    ji = ji_ref[...].reshape(B, 2 * P)
+    cam = cam_ref[0, :]
+    lpt = lpt_ref[0, :]
+    u = u_ref[...].reshape(B, 2)
+
+    def body(zbuf, dma_sem):
+        p0 = p0_ref[i]
+        cp = pltpu.make_async_copy(
+            zp_ref.at[pl.ds(p0, W), :], zbuf, dma_sem)
+        cp.start()
+        cp.wait()
+        zm = _gather_rows(zbuf[...], lpt, W).astype(mv_dtype)  # (B,3)
+        u2_0 = jnp.sum((jp[:, 0:3] * zm).astype(jnp.float32), axis=1)
+        u2_1 = jnp.sum((jp[:, 3:6] * zm).astype(jnp.float32), axis=1)
+        d = u - jnp.stack([u2_0, u2_1], axis=1)
+        dm = d.astype(mv_dtype)
+        ycb = ((jc[:, 0:6] * dm[:, 0:1] +
+                jc[:, 6:12] * dm[:, 1:2])).astype(jnp.float32)
+        yc_part = _onehot_T_matmul(cam, Ncp, ycb)          # (Ncp, 6)
+        acc_c[...] = acc_c[...] + jnp.pad(
+            yc_part, ((0, 0), (0, acc_c.shape[1] - 6)))
+        zg = jax.lax.dot_general(
+            ji, dm, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (2P, 2)
+        acc_g[...] = acc_g[...] + jnp.pad(
+            zg, ((0, acc_g.shape[0] - 2 * P),
+                 (0, acc_g.shape[1] - 2)))
+
+    pl.run_scoped(body, pltpu.VMEM((W, 3), jnp.float32),
+                  pltpu.SemaphoreType.DMA(()))
+
+    @pl.when(i == n - 1)
+    def _():
+        yc_ref[...] = acc_c[...]
+        yg_ref[...] = acc_g[...]
+
+
+class FusedMatvec:
+    """S-matvec observation sweeps as two Pallas launches.
+
+    Usage per damped solve:
+        fm = FusedMatvec(plan, P, mv_dtype)           # static wiring
+        jc_c = pack_compact(Jc12, mv_dtype); ...      # once per solve
+        u_c, wp = fm.pass1(jc_c, ji_c, jp_c, vc_pad, vgmat)
+        zp = Hpp_inv @ wp[:Np]                        # XLA glue
+        yc, yg2 = fm.pass2(jc_c, ji_c, jp_c, u_c, zp_pad)
+    """
+
+    def __init__(self, plan, P, mv_dtype=jnp.float32,
+                 interpret=False, cam_tiles=None, lpt_tiles=None,
+                 p0=None):
+        """plan: a MatvecPlan, or any object with B/W/G/M/cam_pad/
+        Np_pad attributes when the tile arrays are passed explicitly
+        (the jit-side path pulls them from BAProblem fields)."""
+        self.plan = plan
+        self.P = P
+        self.mv_dtype = mv_dtype
+        self.interpret = interpret
+        self.cam_tiles = (jnp.asarray(plan.cam_tiles)
+                          if cam_tiles is None else cam_tiles)
+        self.lpt_tiles = (jnp.asarray(plan.local_pt)
+                          if lpt_tiles is None else lpt_tiles)
+        self.p0 = jnp.asarray(plan.tile_p0) if p0 is None else p0
+
+    def _jspec(self, F):
+        B = self.plan.B
+        rows = B * F // 128
+        return pl.BlockSpec((rows, 128), lambda i, p0: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def _idspec(self):
+        B = self.plan.B
+        return pl.BlockSpec((1, B), lambda i, p0: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def pass1(self, jc_c, ji_c, jp_c, vc_pad, vgmat):
+        plan, P = self.plan, self.P
+        B, W, G, Ncp = plan.B, plan.W, plan.G, plan.cam_pad
+        M = plan.M
+        kern = functools.partial(_pass1_kernel, B, W, Ncp, P,
+                                 self.mv_dtype)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(G,),
+            in_specs=[
+                self._idspec(),                         # cam ids
+                self._idspec(),                         # local pt ids
+                self._jspec(12), self._jspec(2 * P), self._jspec(6),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # vc (Ncp, 6)
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # vgmat (2P, 2)
+                pl.BlockSpec(memory_space=pltpu.ANY),   # wp zero init
+            ],
+            out_specs=[
+                self._jspec(2),                         # u compact
+                pl.BlockSpec(memory_space=pltpu.ANY),   # wp (aliased)
+            ],
+        )
+        wp0 = jnp.zeros((plan.Np_pad, 3), jnp.float32)
+        u, wp = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((M * 2 // 128, 128), jnp.float32),
+                jax.ShapeDtypeStruct((plan.Np_pad, 3), jnp.float32),
+            ],
+            # input index counts the scalar-prefetch arg: p0(0),
+            # cam(1), lpt(2), jc(3), ji(4), jp(5), vc(6), vgmat(7),
+            # wp0(8) -> aliases output 1
+            input_output_aliases={8: 1},
+            interpret=self.interpret,
+        )(self.p0, self.cam_tiles, self.lpt_tiles, jc_c, ji_c, jp_c,
+          vc_pad, vgmat, wp0)
+        return u, wp
+
+    def pass2(self, jc_c, ji_c, jp_c, u_c, zp_pad):
+        plan, P = self.plan, self.P
+        B, W, G, Ncp = plan.B, plan.W, plan.G, plan.cam_pad
+        kern = functools.partial(_pass2_kernel, B, W, Ncp, P,
+                                 self.mv_dtype)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(G,),
+            in_specs=[
+                self._idspec(), self._idspec(),
+                self._jspec(12), self._jspec(2 * P), self._jspec(6),
+                self._jspec(2),                         # u compact
+                pl.BlockSpec(memory_space=pltpu.ANY),   # zp HBM
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # yc (Ncp, 8)
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # yg (8, 128)
+            ],
+            scratch_shapes=[pltpu.VMEM((Ncp, 8), jnp.float32),
+                            pltpu.VMEM((8, 128), jnp.float32)],
+        )
+        yc, yg = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((Ncp, 8), jnp.float32),
+                jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            ],
+            interpret=self.interpret,
+        )(self.p0, self.cam_tiles, self.lpt_tiles, jc_c, ji_c, jp_c,
+          u_c, zp_pad)
+        return yc, yg
