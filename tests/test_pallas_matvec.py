@@ -7,8 +7,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from theiasfm_tpu.sfm.ba.pallas_matvec import (FusedMatvec, MatvecPlan,
-                                               pack_compact)
+from theiasfm_tpu.sfm.ba.pallas_matvec import FusedMatvec, MatvecPlan
 
 
 def _rand_problem(rng, M=1024, Nc=12, Np=100, P=1, B=256):
@@ -37,9 +36,9 @@ def test_fused_matvec_matches_einsum():
     plan = MatvecPlan(obs_cam, obs_pt, Nc, Np, block=B)
     fm = FusedMatvec(plan, P, interpret=True)
 
-    jc_c = pack_compact(jnp.asarray(Jc))
-    ji_c = pack_compact(jnp.asarray(Ji))
-    jp_c = pack_compact(jnp.asarray(Jp))
+    jc_c = jnp.asarray(Jc)
+    ji_c = jnp.asarray(Ji)
+    jp_c = jnp.asarray(Jp)
     vc_pad = jnp.zeros((plan.cam_pad, 6), jnp.float32).at[:Nc].set(vc)
     u_c, wp = fm.pass1(jc_c, ji_c, jp_c, vc_pad, _vgmat(vg, P))
 
@@ -51,15 +50,16 @@ def test_fused_matvec_matches_einsum():
              np.einsum("mki,mi->mk", Jc3, vc[obs_cam]) +
              np.einsum("mkp,p->mk", Ji3, vg))
     np.testing.assert_allclose(
-        np.asarray(u_c).reshape(M, 2), u_ref, rtol=2e-5, atol=2e-5)
+        np.asarray(u_c), u_ref, rtol=2e-5, atol=2e-5)
     wp_ref = np.zeros((Np, 3))
     np.add.at(wp_ref, obs_pt,
               np.einsum("mkc,mk->mc", Jp3, u_ref))
-    np.testing.assert_allclose(np.asarray(wp)[:Np], wp_ref,
+    np.testing.assert_allclose(np.asarray(wp)[:Np, :3], wp_ref,
                                rtol=3e-4, atol=3e-4)
 
     # pass 2
-    zp_pad = jnp.zeros((plan.Np_pad, 3), jnp.float32).at[:Np].set(zp)
+    zp_pad = jnp.zeros((plan.Np_pad, 128),
+                   jnp.float32).at[:Np, :3].set(zp)
     yc, yg = fm.pass2(jc_c, ji_c, jp_c, u_c, zp_pad)
     u2_ref = np.einsum("mkc,mc->mk", Jp3, zp[obs_pt])
     d_ref = u_ref - u2_ref

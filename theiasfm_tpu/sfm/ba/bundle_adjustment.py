@@ -673,8 +673,7 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
                          prob.pmv_p0 is not None and
                          dtype == jnp.float32)
         if use_pallas_mv:
-            from .pallas_matvec import (FusedMatvec, PlanShapes,
-                                        pack_compact)
+            from .pallas_matvec import FusedMatvec, PlanShapes
             G_, B_ = prob.pmv_cam_tiles.shape
             shapes = PlanShapes(G_, B_, Nc, Np)
             fm = FusedMatvec(
@@ -682,9 +681,7 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
                 interpret=jax.default_backend() != "tpu",
                 cam_tiles=prob.pmv_cam_tiles,
                 lpt_tiles=prob.pmv_lpt_tiles, p0=prob.pmv_p0)
-            jc_cp = pack_compact(Jc_mv)
-            ji_cp = pack_compact(Ji_mv)
-            jp_cp = pack_compact(Jp_mv)
+            jc_cp, ji_cp, jp_cp = Jc_mv, Ji_mv, Jp_mv
 
             def S_matvec_pallas(vc, vg):
                 vc_pad = jnp.zeros((shapes.cam_pad, 6),
@@ -693,9 +690,9 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
                 u_c, wp_pad = fm.pass1(jc_cp, ji_cp, jp_cp, vc_pad,
                                        vgm)
                 zp = _flat_einsum("ab,b->a", (3, 3), (3,), Hpp_inv,
-                                  wp_pad[:Np])
-                zp_pad = jnp.zeros((shapes.Np_pad, 3),
-                                   jnp.float32).at[:Np].set(zp)
+                                  wp_pad[:Np, :3])
+                zp_pad = jnp.zeros((shapes.Np_pad, 128),
+                                   jnp.float32).at[:Np, :3].set(zp)
                 yc_p, yg_p = fm.pass2(jc_cp, ji_cp, jp_cp, u_c,
                                       zp_pad)
                 yc = yc_p[:Nc, :6]

@@ -25,6 +25,18 @@ Preconditions (see bundle_adjustment's use): single shared intrinsics
 group (Ng == 1), observations sorted by point, no shard_map axis,
 M divisible by the block size.
 
+STATUS (2026-08, this runner): correctness-verified in interpret mode
+(tests/test_pallas_matvec.py — per-pass numerics vs einsum reference
+AND a full-LM equivalence gate) but NOT yet deployable on the
+tunneled TPU toolchain here: its AOT compile helper (a) rejects the
+compact (M*F/128, 128) -> (B, F) in-kernel reshape ("unsupported
+shape cast"), (b) crashes (exit 1, no diagnostic) on ANY 1-D block
+spec — int32 or f32 — which this design needs for the per-tile id
+vectors. The windowed-DMA accumulation pattern itself compiles and
+runs correctly in isolation (verified with a minimal RMW kernel on
+the real chip). Off by default (BAOptions.pallas_matvec=False);
+revisit when the toolchain accepts 1-D blocks or in-kernel reshapes.
+
 ref role: the hot loop of Ceres ITERATIVE_SCHUR's implicit Schur
 matvec (ref bundle_adjustment.h:84-96); design per the TPU kernel
 playbook (one-hot MXU gathers, sequential-grid accumulation).
@@ -68,9 +80,12 @@ class MatvecPlan:
         self.G = M // block
         self.Nc = n_cams
         self.Np = n_pts
-        self.W = block  # point window per tile (sorted: <= B distinct)
+        # point window per tile: sorted obs touch <= B distinct
+        # points; +8 slack lets the window start be 8-aligned (DMA
+        # sublane-offset alignment)
+        self.W = block + 8
         self.Np_pad = _round_up(n_pts + self.W, 8)
-        p0 = obs_pt[:: block].astype(np.int32)
+        p0 = (obs_pt[:: block].astype(np.int32) // 8) * 8
         self.tile_p0 = np.minimum(p0, self.Np_pad - self.W)
         self.cam_pad = _round_up(n_cams, 8)
         rel = (obs_pt.reshape(self.G, block) - self.tile_p0[:, None])
@@ -84,11 +99,11 @@ class PlanShapes:
     from BAProblem fields (jit-side path)."""
 
     def __init__(self, G, B, Nc, Np):
-        self.G, self.B, self.W = G, B, B
+        self.G, self.B, self.W = G, B, B + 8
         self.M = G * B
         self.Nc, self.Np = Nc, Np
         self.cam_pad = _round_up(Nc, 8)
-        self.Np_pad = _round_up(Np + B, 8)
+        self.Np_pad = _round_up(Np + self.W, 8)
 
 
 def _onehot_T_matmul(ids, width, vals):
@@ -116,11 +131,11 @@ def _pass1_kernel(B, W, Ncp, P, mv_dtype,
                   vc_ref, vgmat_ref, wp_in_ref, u_ref, wp_ref):
     """u = Jc vc[cam] + Ji vg ; wp[window] += onehot^T (Jp^T u)."""
     i = pl.program_id(0)
-    jc = jc_ref[...].reshape(B, 12)
-    jp = jp_ref[...].reshape(B, 6)
-    ji = ji_ref[...].reshape(B, 2 * P)
-    cam = cam_ref[0, :]
-    lpt = lpt_ref[0, :]
+    jc = jc_ref[...]
+    jp = jp_ref[...]
+    ji = ji_ref[...]
+    cam = cam_ref[...]
+    lpt = lpt_ref[...]
     vc_m = _gather_rows(vc_ref[...], cam, Ncp).astype(mv_dtype)
     u0 = jnp.sum((jc[:, 0:6] * vc_m).astype(jnp.float32), axis=1)
     u1 = jnp.sum((jc[:, 6:12] * vc_m).astype(jnp.float32), axis=1)
@@ -128,25 +143,28 @@ def _pass1_kernel(B, W, Ncp, P, mv_dtype,
         ji, vgmat_ref[...].astype(ji.dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)          # (B, 2)
     u = jnp.stack([u0, u1], axis=1) + ug
-    u_ref[...] = u.reshape(u_ref.shape)
+    u_ref[...] = u
     um = u.astype(mv_dtype)
     t = ((jp[:, 0:3] * um[:, 0:1] +
           jp[:, 3:6] * um[:, 1:2])).astype(jnp.float32)  # (B, 3)
     part = _onehot_T_matmul(lpt, W, t)                   # (W, 3)
 
+    # the wp buffer is (Np_pad, 128) with data in columns 0:3 — DMAs
+    # must move full lane widths (a 3-lane memref slice crashes the
+    # TPU compile helper); the accumulate touches only cols 0:3
     def rmw(buf, dma_sem):
         p0 = p0_ref[i]
         cp = pltpu.make_async_copy(
             wp_ref.at[pl.ds(p0, W), :], buf, dma_sem)
         cp.start()
         cp.wait()
-        buf[...] = buf[...] + part
+        buf[:, 0:3] = buf[:, 0:3] + part
         cp2 = pltpu.make_async_copy(
             buf, wp_ref.at[pl.ds(p0, W), :], dma_sem)
         cp2.start()
         cp2.wait()
 
-    pl.run_scoped(rmw, pltpu.VMEM((W, 3), jnp.float32),
+    pl.run_scoped(rmw, pltpu.VMEM((W, 128), jnp.float32),
                   pltpu.SemaphoreType.DMA(()))
 
 
@@ -162,12 +180,12 @@ def _pass2_kernel(B, W, Ncp, P, mv_dtype,
         acc_c[...] = jnp.zeros_like(acc_c)
         acc_g[...] = jnp.zeros_like(acc_g)
 
-    jc = jc_ref[...].reshape(B, 12)
-    jp = jp_ref[...].reshape(B, 6)
-    ji = ji_ref[...].reshape(B, 2 * P)
-    cam = cam_ref[0, :]
-    lpt = lpt_ref[0, :]
-    u = u_ref[...].reshape(B, 2)
+    jc = jc_ref[...]
+    jp = jp_ref[...]
+    ji = ji_ref[...]
+    cam = cam_ref[...]
+    lpt = lpt_ref[...]
+    u = u_ref[...]
 
     def body(zbuf, dma_sem):
         p0 = p0_ref[i]
@@ -175,24 +193,21 @@ def _pass2_kernel(B, W, Ncp, P, mv_dtype,
             zp_ref.at[pl.ds(p0, W), :], zbuf, dma_sem)
         cp.start()
         cp.wait()
-        zm = _gather_rows(zbuf[...], lpt, W).astype(mv_dtype)  # (B,3)
+        zm = _gather_rows(zbuf[:, 0:3], lpt, W).astype(
+            mv_dtype)                                          # (B,3)
         u2_0 = jnp.sum((jp[:, 0:3] * zm).astype(jnp.float32), axis=1)
         u2_1 = jnp.sum((jp[:, 3:6] * zm).astype(jnp.float32), axis=1)
         d = u - jnp.stack([u2_0, u2_1], axis=1)
         dm = d.astype(mv_dtype)
         ycb = ((jc[:, 0:6] * dm[:, 0:1] +
                 jc[:, 6:12] * dm[:, 1:2])).astype(jnp.float32)
-        yc_part = _onehot_T_matmul(cam, Ncp, ycb)          # (Ncp, 6)
-        acc_c[...] = acc_c[...] + jnp.pad(
-            yc_part, ((0, 0), (0, acc_c.shape[1] - 6)))
+        acc_c[...] = acc_c[...] + _onehot_T_matmul(cam, Ncp, ycb)
         zg = jax.lax.dot_general(
             ji, dm, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)            # (2P, 2)
-        acc_g[...] = acc_g[...] + jnp.pad(
-            zg, ((0, acc_g.shape[0] - 2 * P),
-                 (0, acc_g.shape[1] - 2)))
+        acc_g[...] = acc_g[...] + zg
 
-    pl.run_scoped(body, pltpu.VMEM((W, 3), jnp.float32),
+    pl.run_scoped(body, pltpu.VMEM((W, 128), jnp.float32),
                   pltpu.SemaphoreType.DMA(()))
 
     @pl.when(i == n - 1)
@@ -222,21 +237,29 @@ class FusedMatvec:
         self.P = P
         self.mv_dtype = mv_dtype
         self.interpret = interpret
-        self.cam_tiles = (jnp.asarray(plan.cam_tiles)
-                          if cam_tiles is None else cam_tiles)
-        self.lpt_tiles = (jnp.asarray(plan.local_pt)
-                          if lpt_tiles is None else lpt_tiles)
+        cam_t = (jnp.asarray(plan.cam_tiles) if cam_tiles is None
+                 else cam_tiles)
+        lpt_t = (jnp.asarray(plan.local_pt) if lpt_tiles is None
+                 else lpt_tiles)
+        # flat (M,) layout for Mosaic-compliant (B,) blocks
+        self.cam_tiles = cam_t.reshape(-1)
+        self.lpt_tiles = lpt_t.reshape(-1)
         self.p0 = jnp.asarray(plan.tile_p0) if p0 is None else p0
 
     def _jspec(self, F):
+        # (B, F) blocks of the UNPACKED (M, F) array: F equals the
+        # full trailing dim, which Mosaic accepts; the compact
+        # (M*F/128, 128) + in-kernel reshape is rejected
+        # ("unsupported shape cast" on (48,128)->(512,12)).
         B = self.plan.B
-        rows = B * F // 128
-        return pl.BlockSpec((rows, 128), lambda i, p0: (i, 0),
+        return pl.BlockSpec((B, F), lambda i, p0: (i, 0),
                             memory_space=pltpu.VMEM)
 
     def _idspec(self):
+        # ids are FLAT (M,) with (B,) blocks: a (1, B) block of a
+        # (G, B) array violates Mosaic's (8, 128)-divisibility rule
         B = self.plan.B
-        return pl.BlockSpec((1, B), lambda i, p0: (i, 0),
+        return pl.BlockSpec((B,), lambda i, p0: (i,),
                             memory_space=pltpu.VMEM)
 
     def pass1(self, jc_c, ji_c, jp_c, vc_pad, vgmat):
@@ -254,20 +277,21 @@ class FusedMatvec:
                 self._jspec(12), self._jspec(2 * P), self._jspec(6),
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # vc (Ncp, 6)
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # vgmat (2P, 2)
-                pl.BlockSpec(memory_space=pltpu.ANY),   # wp zero init
+                pl.BlockSpec(memory_space=pltpu.HBM),   # wp zero init
             ],
             out_specs=[
                 self._jspec(2),                         # u compact
-                pl.BlockSpec(memory_space=pltpu.ANY),   # wp (aliased)
+                pl.BlockSpec(memory_space=pltpu.HBM),   # wp (aliased)
             ],
         )
-        wp0 = jnp.zeros((plan.Np_pad, 3), jnp.float32)
+        wp0 = jnp.zeros((plan.Np_pad, 128), jnp.float32)
         u, wp = pl.pallas_call(
             kern,
             grid_spec=grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((M * 2 // 128, 128), jnp.float32),
-                jax.ShapeDtypeStruct((plan.Np_pad, 3), jnp.float32),
+                jax.ShapeDtypeStruct((M, 2), jnp.float32),
+                jax.ShapeDtypeStruct((plan.Np_pad, 128),
+                                     jnp.float32),
             ],
             # input index counts the scalar-prefetch arg: p0(0),
             # cam(1), lpt(2), jc(3), ji(4), jp(5), vc(6), vgmat(7),
@@ -290,21 +314,21 @@ class FusedMatvec:
                 self._idspec(), self._idspec(),
                 self._jspec(12), self._jspec(2 * P), self._jspec(6),
                 self._jspec(2),                         # u compact
-                pl.BlockSpec(memory_space=pltpu.ANY),   # zp HBM
+                pl.BlockSpec(memory_space=pltpu.HBM),   # zp HBM
             ],
             out_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # yc (Ncp, 8)
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # yg (8, 128)
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # yc (Ncp, 6)
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # yg (2P, 2)
             ],
-            scratch_shapes=[pltpu.VMEM((Ncp, 8), jnp.float32),
-                            pltpu.VMEM((8, 128), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((Ncp, 6), jnp.float32),
+                            pltpu.VMEM((2 * P, 2), jnp.float32)],
         )
         yc, yg = pl.pallas_call(
             kern,
             grid_spec=grid_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((Ncp, 8), jnp.float32),
-                jax.ShapeDtypeStruct((8, 128), jnp.float32),
+                jax.ShapeDtypeStruct((Ncp, 6), jnp.float32),
+                jax.ShapeDtypeStruct((2 * P, 2), jnp.float32),
             ],
             interpret=self.interpret,
         )(self.p0, self.cam_tiles, self.lpt_tiles, jc_c, ji_c, jp_c,
