@@ -25,17 +25,16 @@ Preconditions (see bundle_adjustment's use): single shared intrinsics
 group (Ng == 1), observations sorted by point, no shard_map axis,
 M divisible by the block size.
 
-STATUS (2026-08, this runner): correctness-verified in interpret mode
-(tests/test_pallas_matvec.py — per-pass numerics vs einsum reference
-AND a full-LM equivalence gate) but NOT yet deployable on the
-tunneled TPU toolchain here: its AOT compile helper (a) rejects the
-compact (M*F/128, 128) -> (B, F) in-kernel reshape ("unsupported
-shape cast"), (b) crashes (exit 1, no diagnostic) on ANY 1-D block
-spec — int32 or f32 — which this design needs for the per-tile id
-vectors. The windowed-DMA accumulation pattern itself compiles and
-runs correctly in isolation (verified with a minimal RMW kernel on
-the real chip). Off by default (BAOptions.pallas_matvec=False);
-revisit when the toolchain accepts 1-D blocks or in-kernel reshapes.
+Toolchain notes (2026-08, this runner, bisected on-chip): the AOT
+compile helper rejects compact (M*F/128, 128) -> (B, F) in-kernel
+reshapes ("unsupported shape cast") and 1-D block specs, so the
+jacobians ride as (B, F) blocks of the UNPACKED (M, F) arrays
+(strided DMA reads pay some padding amplification, but no (M, 128)
+temporaries are ever written) and the per-tile id vectors ride as
+WHOLE (G, B) VMEM arrays with a dynamic row read per grid step —
+which caps deployment at 2*M*4 bytes of VMEM for ids (~1M obs).
+Correctness: tests/test_pallas_matvec.py (per-pass numerics vs an
+einsum reference + a full-LM equivalence gate).
 
 ref role: the hot loop of Ceres ITERATIVE_SCHUR's implicit Schur
 matvec (ref bundle_adjustment.h:84-96); design per the TPU kernel
@@ -134,8 +133,8 @@ def _pass1_kernel(B, W, Ncp, P, mv_dtype,
     jc = jc_ref[...]
     jp = jp_ref[...]
     ji = ji_ref[...]
-    cam = cam_ref[...]
-    lpt = lpt_ref[...]
+    cam = cam_ref[i, :]
+    lpt = lpt_ref[i, :]
     vc_m = _gather_rows(vc_ref[...], cam, Ncp).astype(mv_dtype)
     u0 = jnp.sum((jc[:, 0:6] * vc_m).astype(jnp.float32), axis=1)
     u1 = jnp.sum((jc[:, 6:12] * vc_m).astype(jnp.float32), axis=1)
@@ -183,8 +182,8 @@ def _pass2_kernel(B, W, Ncp, P, mv_dtype,
     jc = jc_ref[...]
     jp = jp_ref[...]
     ji = ji_ref[...]
-    cam = cam_ref[...]
-    lpt = lpt_ref[...]
+    cam = cam_ref[i, :]
+    lpt = lpt_ref[i, :]
     u = u_ref[...]
 
     def body(zbuf, dma_sem):
@@ -241,9 +240,9 @@ class FusedMatvec:
                  else cam_tiles)
         lpt_t = (jnp.asarray(plan.local_pt) if lpt_tiles is None
                  else lpt_tiles)
-        # flat (M,) layout for Mosaic-compliant (B,) blocks
-        self.cam_tiles = cam_t.reshape(-1)
-        self.lpt_tiles = lpt_t.reshape(-1)
+        G, B = plan.G, plan.B
+        self.cam_tiles = cam_t.reshape(G, B)
+        self.lpt_tiles = lpt_t.reshape(G, B)
         self.p0 = jnp.asarray(plan.tile_p0) if p0 is None else p0
 
     def _jspec(self, F):
@@ -256,11 +255,12 @@ class FusedMatvec:
                             memory_space=pltpu.VMEM)
 
     def _idspec(self):
-        # ids are FLAT (M,) with (B,) blocks: a (1, B) block of a
-        # (G, B) array violates Mosaic's (8, 128)-divisibility rule
-        B = self.plan.B
-        return pl.BlockSpec((B,), lambda i, p0: (i,),
-                            memory_space=pltpu.VMEM)
+        # ids ride as WHOLE (G, B) VMEM arrays with a dynamic row read
+        # per grid step: this runner's AOT helper crashes on ANY 1-D
+        # block spec, and a (1, B) block violates Mosaic's
+        # (8, 128)-divisibility rule. Cost: both id arrays resident in
+        # VMEM (2*M*4 bytes) — the deployment gate caps M accordingly.
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
 
     def pass1(self, jc_c, ji_c, jp_c, vc_pad, vgmat):
         plan, P = self.plan, self.P
