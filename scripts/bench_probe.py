@@ -99,7 +99,7 @@ def main():
     if extra.get("pallas_matvec"):
         from theiasfm_tpu.sfm.ba.bundle_adjustment import (
             add_pallas_matvec_plan, pad_obs_to_multiple)
-        blk = 1024 if bf16 or solver == "pcg_fast" else 512
+        blk = 1024
         prob = add_pallas_matvec_plan(
             pad_obs_to_multiple(prob, blk), block=blk)
 

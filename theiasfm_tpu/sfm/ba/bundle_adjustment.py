@@ -76,10 +76,13 @@ class BAProblem(NamedTuple):
     obs_cam_sorted: Optional[jnp.ndarray] = None  # (M,) int32
     # Fused Pallas matvec plan (add_pallas_matvec_plan): per-tile
     # camera ids, window-local point ids, and window starts for the
-    # sorted-segment accumulation (see pallas_matvec.py).
+    # sorted-segment accumulation (see pallas_matvec.py). pmv_window
+    # is a zeros((W,), int8) SHAPE CARRIER: the static window size
+    # must reach the solver through the jit boundary.
     pmv_cam_tiles: Optional[jnp.ndarray] = None   # (G, B) int32
     pmv_lpt_tiles: Optional[jnp.ndarray] = None   # (G, B) int32
     pmv_p0: Optional[jnp.ndarray] = None          # (G,) int32
+    pmv_window: Optional[jnp.ndarray] = None      # (W,) int8 zeros
     # Camera-PAIR gather tables for the dense-Schur assembly
     # (add_cam_pair_tables): tuple of (kidx, lidx, valid) arrays, one
     # per count class; (P_c, cap) observation indices of per-point
@@ -675,7 +678,8 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         if use_pallas_mv:
             from .pallas_matvec import FusedMatvec, PlanShapes
             G_, B_ = prob.pmv_cam_tiles.shape
-            shapes = PlanShapes(G_, B_, Nc, Np)
+            shapes = PlanShapes(G_, B_, Nc, Np,
+                                prob.pmv_window.shape[0])
             fm = FusedMatvec(
                 shapes, P, mv_dtype=Jc_mv.dtype,
                 interpret=jax.default_backend() != "tpu",
@@ -1550,7 +1554,7 @@ def pad_obs_to_multiple(prob: BAProblem, multiple: int) -> BAProblem:
 
 
 def add_pallas_matvec_plan(prob: BAProblem,
-                           block: int = 512) -> BAProblem:
+                           block: int = 1024) -> BAProblem:
     """Attach the fused Pallas matvec tile arrays (host-side; see
     pallas_matvec.py). Requires point-sorted observations and
     M % block == 0 (use pad_obs_to_multiple first). The solver uses
@@ -1562,7 +1566,8 @@ def add_pallas_matvec_plan(prob: BAProblem,
                       block=block)
     return prob._replace(pmv_cam_tiles=jnp.asarray(plan.cam_tiles),
                          pmv_lpt_tiles=jnp.asarray(plan.local_pt),
-                         pmv_p0=jnp.asarray(plan.tile_p0))
+                         pmv_p0=jnp.asarray(plan.tile_p0),
+                         pmv_window=jnp.zeros((plan.W,), jnp.int8))
 
 
 def add_point_obs_map(prob: BAProblem, bucket_min: int = 4) -> BAProblem:

@@ -79,12 +79,15 @@ class MatvecPlan:
         self.G = M // block
         self.Nc = n_cams
         self.Np = n_pts
-        # point window per tile: sorted obs touch <= B distinct
-        # points; +8 slack lets the window start be 8-aligned (DMA
-        # sublane-offset alignment)
-        self.W = block + 8
-        self.Np_pad = _round_up(n_pts + self.W, 8)
+        # point window per tile: sized to the ACTUAL max point span of
+        # any tile (sorted obs; typical span is B / mean-track-length,
+        # far below the worst-case B) — window DMA volume scales with
+        # W, so this matters. p0 is 8-aligned for the DMA sublane
+        # offset; +8 covers the alignment shift.
         p0 = (obs_pt[:: block].astype(np.int32) // 8) * 8
+        rel_raw = obs_pt.reshape(self.G, block) - p0[:, None]
+        self.W = int(_round_up(int(rel_raw.max()) + 1, 8))
+        self.Np_pad = _round_up(n_pts + self.W, 8)
         self.tile_p0 = np.minimum(p0, self.Np_pad - self.W)
         self.cam_pad = _round_up(n_cams, 8)
         rel = (obs_pt.reshape(self.G, block) - self.tile_p0[:, None])
@@ -97,12 +100,12 @@ class PlanShapes:
     """Shape-only plan view for FusedMatvec when the tile arrays come
     from BAProblem fields (jit-side path)."""
 
-    def __init__(self, G, B, Nc, Np):
-        self.G, self.B, self.W = G, B, B + 8
+    def __init__(self, G, B, Nc, Np, W):
+        self.G, self.B, self.W = G, B, W
         self.M = G * B
         self.Nc, self.Np = Nc, Np
         self.cam_pad = _round_up(Nc, 8)
-        self.Np_pad = _round_up(Np + self.W, 8)
+        self.Np_pad = _round_up(Np + W, 8)
 
 
 def _onehot_T_matmul(ids, width, vals):
