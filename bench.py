@@ -91,13 +91,23 @@ def main():
             "vs_baseline": 0.0}))
         sys.exit(1)
 
-    # 1) headline: matched-cost wall time at Notre-Dame scale
-    matched = _probe(["bench_probe.py", "550", "140000", "pcg_fast",
-                      "60", "2", "matched"])
+    # 1) headline: matched-cost wall time at Notre-Dame scale with the
+    # fused Pallas matvec (measured 1.2-3.6 s across configs/runs);
+    # falls back to the pure-XLA config if the kernel path fails
+    matched = _probe(["bench_probe.py", "550", "140000",
+                      "pcg_fast_pallas", "60", "2", "matched"])
+    headline_cfg = "pcg_fast_pallas"
+    if not (matched and matched.get("reached")):
+        if not _wait_for_tpu(deadline):
+            matched = None
+        else:
+            matched = _probe(["bench_probe.py", "550", "140000",
+                              "pcg_fast", "60", "2", "matched"])
+            headline_cfg = "pcg_fast"
     # 2) raw throughput (same config) for round-over-round comparison
     if time.time() < deadline and _wait_for_tpu(deadline):
-        raw = _probe(["bench_probe.py", "550", "140000", "pcg_fast",
-                      "30", "2"])
+        raw = _probe(["bench_probe.py", "550", "140000",
+                      headline_cfg, "30", "2"])
         if raw:
             secondary["lm_iters_per_sec"] = raw["iters_per_sec"]
             secondary["lm_iters_per_sec_vs_ceres_iters"] = round(
@@ -119,12 +129,14 @@ def main():
         secondary["exact_matched_cost_s"] = \
             matched["exact_matched_cost_s"]
         secondary["exact_matched_iters"] = matched["exact_matched_iters"]
+        secondary["headline_config"] = headline_cfg
         print(json.dumps({
             "metric": "ba_time_to_matched_cost_notredame_scale",
             "value": t,
-            "unit": ("s to 1.001x exact converged cost (550 cams, "
-                     "560k obs, pcg_fast incl. inner iterations; ref "
-                     "Ceres SPARSE_SCHUR spent 196.22s, 2016 CPU)"),
+            "unit": (f"s to 1.001x exact converged cost (550 cams, "
+                     f"560k obs, {headline_cfg} incl. inner "
+                     f"iterations; ref Ceres SPARSE_SCHUR spent "
+                     f"196.22s, 2016 CPU)"),
             "vs_baseline": round(BASELINE_BA_SECONDS / max(t, 1e-9), 2),
             "secondary": secondary,
         }))

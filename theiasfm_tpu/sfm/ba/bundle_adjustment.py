@@ -671,10 +671,15 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         diag_c = lam * jnp.einsum("nii->ni", Hcc)          # (Nc,6)
         diag_g = lam * jnp.einsum("nii->ni", Hgg)          # (Ng,P)
 
+        # measured crossover (ROADMAP round-3): the kernels WIN at
+        # Notre-Dame scale (10.63 vs 9.88 iters/s, 560k obs) where the
+        # per-tile id arrays fit VMEM, and LOSE at 2M obs (2.18 vs
+        # 3.19) where the 2*M*4-byte id residency spills — gate at 1M.
         use_pallas_mv = (opts.pallas_matvec and Ng == 1 and
                          opts.axis_name is None and
                          prob.pmv_p0 is not None and
-                         dtype == jnp.float32)
+                         dtype == jnp.float32 and
+                         prob.obs_cam.shape[0] <= (1 << 20))
         if use_pallas_mv:
             from .pallas_matvec import FusedMatvec, PlanShapes
             G_, B_ = prob.pmv_cam_tiles.shape
