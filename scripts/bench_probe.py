@@ -57,7 +57,7 @@ def main():
     while stripping:
         stripping = False
         for suf in ("_nojr", "_jr", "_bf16", "_cg1", "_cg10", "_nopre",
-                    "_eta", "_inner0", "_inner2", "_pallas"):
+                    "_eta", "_inner0", "_inner2", "_pallas", "_pblocks"):
             if solver.endswith(suf):
                 solver = solver[:-len(suf)]
                 stripping = True
@@ -81,6 +81,9 @@ def main():
                     extra["inner_iterations"] = 2
                 elif suf == "_pallas":
                     extra["pallas_matvec"] = True
+                elif suf == "_pblocks":
+                    extra["pallas_matvec"] = True
+                    extra["pallas_blocks"] = True
     if solver == "pcg_fast":
         # inexact-step configuration: bf16 matvec + Ceres-style
         # constant eta forcing
@@ -99,7 +102,7 @@ def main():
     if extra.get("pallas_matvec"):
         from theiasfm_tpu.sfm.ba.bundle_adjustment import (
             add_pallas_matvec_plan, pad_obs_to_multiple)
-        blk = 1024
+        blk = 1024 if not extra.get("pallas_blocks") else 512
         prob = add_pallas_matvec_plan(
             pad_obs_to_multiple(prob, blk), block=blk)
 

@@ -103,3 +103,29 @@ def test_bundle_adjust_pallas_matvec_matches_xla():
     np.testing.assert_allclose(float(s1.final_cost),
                                float(s0.final_cost), rtol=1e-3)
     assert float(s1.final_cost) < 0.5 * float(s1.initial_cost)
+
+
+def test_bundle_adjust_pallas_blocks_matches_xla():
+    """The experimental fused make_blocks kernel (pallas_blocks) must
+    also track the XLA path (interpret mode off TPU)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _make_problem
+    from theiasfm_tpu.sfm.ba import BAOptions, bundle_adjust
+    from theiasfm_tpu.sfm.ba.bundle_adjustment import (
+        add_pallas_matvec_plan, pad_obs_to_multiple)
+    import dataclasses
+
+    prob = _make_problem(n_cams=12, n_pts=256, obs_per_pt=4,
+                         dtype=jnp.float32)
+    prob = add_pallas_matvec_plan(pad_obs_to_multiple(prob, 512),
+                                  block=512)
+    base = BAOptions(max_iterations=6, cg_iterations=20,
+                     loss="huber", loss_scale=2.0,
+                     function_tolerance=0.0, point_indices_sorted=True)
+    _, s0 = bundle_adjust(prob, base)
+    _, s1 = bundle_adjust(
+        prob, dataclasses.replace(base, pallas_matvec=True,
+                                  pallas_blocks=True))
+    np.testing.assert_allclose(float(s1.final_cost),
+                               float(s0.final_cost), rtol=1e-3)

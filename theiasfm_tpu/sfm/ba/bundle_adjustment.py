@@ -183,6 +183,12 @@ class BAOptions:
     # and the plan arrays attached by add_pallas_matvec_plan —
     # silently falls back to the XLA matvec otherwise.
     pallas_matvec: bool = False
+    # Also run the make_blocks sweep as a fused Pallas kernel.
+    # MEASURED NET LOSS at 550 cams (5.85 vs 10.63 iters/s with the
+    # matvec kernels alone; the extra windowed RMW per LM iteration
+    # and a per-call zero-init buffer dominate what the sweep saves)
+    # — kept as an experimental knob, off by default.
+    pallas_blocks: bool = False
     # Carry residuals/jacobians (and the lambda-independent Hessian
     # blocks) across LM iterations so REJECTED steps skip the jacobian
     # pass entirely. MEASURED NET LOSS on v5e even on a reject-heavy
@@ -538,6 +544,24 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         return (r, Jc.reshape(M_, 12), Ji.reshape(M_, 2 * P),
                 Jp.reshape(M_, 6))
 
+    # Fused-kernel eligibility (see pallas_matvec.py): shared across
+    # make_blocks and the CG matvec. The measured crossover gates the
+    # kernels at 1M observations (ids ride whole in VMEM).
+    _pallas_ok = (opts.pallas_matvec and Ng == 1 and
+                  opts.axis_name is None and
+                  prob.pmv_p0 is not None and
+                  dtype == jnp.float32 and
+                  prob.obs_cam.shape[0] <= (1 << 20))
+    _pallas_blocks_ok = _pallas_ok and opts.pallas_blocks
+    if _pallas_blocks_ok:
+        from .pallas_matvec import FusedBlocks, PlanShapes
+        _G, _B = prob.pmv_cam_tiles.shape
+        _shapes = PlanShapes(_G, _B, Nc, Np, prob.pmv_window.shape[0])
+        _fused_blocks = FusedBlocks(
+            _shapes, P, interpret=jax.default_backend() != "tpu",
+            cam_tiles=prob.pmv_cam_tiles,
+            lpt_tiles=prob.pmv_lpt_tiles, p0=prob.pmv_p0)
+
     def make_blocks(r, Jc12, JiP, Jp6):
         """Lambda-INDEPENDENT pieces of the normal equations: undamped
         block-diagonal Hessian blocks and gradients. Computed once per
@@ -547,10 +571,21 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         Point/camera-side products are assembled FLAT and the gradient
         rides the same segment reduction as the Hessian blocks (one
         reduction pass each over (M, 12) / (M, 42) instead of separate
-        rank-3 reductions over 28x-padded temporaries).
+        rank-3 reductions over 28x-padded temporaries). With the fused
+        Pallas kernels enabled the whole sweep is ONE launch.
 
         Returns Hpp as FLAT (Np, 9) — (Np, 3, 3) would tile-pad 28x
         and it is re-read every CG iteration via Hpp_inv."""
+        if _pallas_blocks_ok:
+            pt_blk, cam_blk, X2, Y2 = _fused_blocks(Jc12, JiP, Jp6, r)
+            Hpp9 = pt_blk[:Np, 0:9]
+            gp = pt_blk[:Np, 9:12]
+            Hcc = cam_blk[:Nc, :36].reshape(Nc, 6, 6)
+            gc = cam_blk[:Nc, 36:42]
+            Hgg = jnp.einsum("kpkq->pq",
+                             X2.reshape(2, P, 2, P))[None]
+            gg = jnp.einsum("kpk->p", Y2.reshape(2, P, 2))[None]
+            return Hpp9, Hcc, Hgg, gc, gg, gp
         Hpp9_m = _flat_einsum("ka,kb->ab", (2, 3), (2, 3), Jp6, Jp6)
         gp3_m = _flat_einsum("ka,k->a", (2, 3), (2,), Jp6, r)
         pt_blk = seg_pt(jnp.concatenate([Hpp9_m, gp3_m], axis=1))
@@ -675,11 +710,7 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         # Notre-Dame scale (10.63 vs 9.88 iters/s, 560k obs) where the
         # per-tile id arrays fit VMEM, and LOSE at 2M obs (2.18 vs
         # 3.19) where the 2*M*4-byte id residency spills — gate at 1M.
-        use_pallas_mv = (opts.pallas_matvec and Ng == 1 and
-                         opts.axis_name is None and
-                         prob.pmv_p0 is not None and
-                         dtype == jnp.float32 and
-                         prob.obs_cam.shape[0] <= (1 << 20))
+        use_pallas_mv = _pallas_ok
         if use_pallas_mv:
             from .pallas_matvec import FusedMatvec, PlanShapes
             G_, B_ = prob.pmv_cam_tiles.shape

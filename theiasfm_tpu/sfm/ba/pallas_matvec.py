@@ -337,3 +337,123 @@ class FusedMatvec:
         )(self.p0, self.cam_tiles, self.lpt_tiles, jc_c, ji_c, jp_c,
           u_c, zp_pad)
         return yc, yg
+
+
+def _blocks_kernel(B, W, Ncp, P,
+                   p0_ref, cam_ref, lpt_ref, jc_ref, ji_ref, jp_ref,
+                   r_ref, pt_in_ref, pt_ref, cam_out_ref, gx_ref,
+                   gy_ref, acc_cam, acc_x, acc_y):
+    """Undamped normal-equation blocks in ONE observation sweep
+    (replaces make_blocks' flat-einsum + segment-reduction pipeline):
+      pt_blk[n, 0:12]  += [Hpp9 | gp3]   (windowed RMW, sorted obs)
+      cam_blk[c, 0:42] += [Hcc36 | gc6]  (one-hot MXU, VMEM scratch)
+      X (2P, 2P) += Ji^T Ji ; Y (2P, 2) += Ji^T r  (shared group)
+    """
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_cam[...] = jnp.zeros_like(acc_cam)
+        acc_x[...] = jnp.zeros_like(acc_x)
+        acc_y[...] = jnp.zeros_like(acc_y)
+
+    jc = jc_ref[...]
+    ji = ji_ref[...]
+    jp = jp_ref[...]
+    r = r_ref[...]
+    cam = cam_ref[i, :]
+    lpt = lpt_ref[i, :]
+
+    pt_cols = [jp[:, a] * jp[:, c] + jp[:, 3 + a] * jp[:, 3 + c]
+               for a in range(3) for c in range(3)]
+    pt_cols += [jp[:, c] * r[:, 0] + jp[:, 3 + c] * r[:, 1]
+                for c in range(3)]
+    ptvals = jnp.stack(pt_cols, axis=1)                  # (B, 12)
+    part = _onehot_T_matmul(lpt, W, ptvals)              # (W, 12)
+
+    def rmw(buf, dma_sem):
+        p0 = p0_ref[i]
+        cp = pltpu.make_async_copy(
+            pt_ref.at[pl.ds(p0, W), :], buf, dma_sem)
+        cp.start()
+        cp.wait()
+        buf[:, 0:12] = buf[:, 0:12] + part
+        cp2 = pltpu.make_async_copy(
+            buf, pt_ref.at[pl.ds(p0, W), :], dma_sem)
+        cp2.start()
+        cp2.wait()
+
+    pl.run_scoped(rmw, pltpu.VMEM((W, 128), jnp.float32),
+                  pltpu.SemaphoreType.DMA(()))
+
+    cam_cols = [jc[:, a] * jc[:, c] + jc[:, 6 + a] * jc[:, 6 + c]
+                for a in range(6) for c in range(6)]
+    cam_cols += [jc[:, c] * r[:, 0] + jc[:, 6 + c] * r[:, 1]
+                 for c in range(6)]
+    camvals = jnp.stack(cam_cols, axis=1)                # (B, 42)
+    acc_cam[...] = acc_cam[...] + _onehot_T_matmul(cam, Ncp, camvals)
+    acc_x[...] = acc_x[...] + jax.lax.dot_general(
+        ji, ji, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_y[...] = acc_y[...] + jax.lax.dot_general(
+        ji, r, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(i == n - 1)
+    def _():
+        cam_out_ref[...] = acc_cam[...]
+        gx_ref[...] = acc_x[...]
+        gy_ref[...] = acc_y[...]
+
+
+class FusedBlocks:
+    """make_blocks' observation sweep as one Pallas launch (f32)."""
+
+    def __init__(self, plan, P, interpret=False, cam_tiles=None,
+                 lpt_tiles=None, p0=None):
+        self.fm = FusedMatvec(plan, P, mv_dtype=jnp.float32,
+                              interpret=interpret,
+                              cam_tiles=cam_tiles,
+                              lpt_tiles=lpt_tiles, p0=p0)
+
+    def __call__(self, jc, ji, jp, r):
+        fm = self.fm
+        plan, P = fm.plan, fm.P
+        B, W, G, Ncp = plan.B, plan.W, plan.G, plan.cam_pad
+        kern = functools.partial(_blocks_kernel, B, W, Ncp, P)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(G,),
+            in_specs=[
+                fm._idspec(), fm._idspec(),
+                fm._jspec(12), fm._jspec(2 * P), fm._jspec(6),
+                fm._jspec(2),                           # residuals
+                pl.BlockSpec(memory_space=pltpu.HBM),   # pt zero init
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),   # pt (aliased)
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # cam (Ncp, 42)
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # X (2P, 2P)
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # Y (2P, 2)
+            ],
+            scratch_shapes=[pltpu.VMEM((Ncp, 42), jnp.float32),
+                            pltpu.VMEM((2 * P, 2 * P), jnp.float32),
+                            pltpu.VMEM((2 * P, 2), jnp.float32)],
+        )
+        pt0 = jnp.zeros((plan.Np_pad, 128), jnp.float32)
+        # input index incl. scalar prefetch: p0(0), cam(1), lpt(2),
+        # jc(3), ji(4), jp(5), r(6), pt0(7) -> aliases output 0
+        pt, camb, X2, Y2 = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((plan.Np_pad, 128), jnp.float32),
+                jax.ShapeDtypeStruct((Ncp, 42), jnp.float32),
+                jax.ShapeDtypeStruct((2 * P, 2 * P), jnp.float32),
+                jax.ShapeDtypeStruct((2 * P, 2), jnp.float32),
+            ],
+            input_output_aliases={7: 0},
+            interpret=fm.interpret,
+        )(fm.p0, fm.cam_tiles, fm.lpt_tiles, jc, ji, jp, r, pt0)
+        return pt, camb, X2, Y2
