@@ -129,3 +129,26 @@ def test_bundle_adjust_pallas_blocks_matches_xla():
                                   pallas_blocks=True))
     np.testing.assert_allclose(float(s1.final_cost),
                                float(s0.final_cost), rtol=1e-3)
+
+
+def test_bundle_adjust_bucketed_pallas_opt_in():
+    """The pipeline-level bucketed entry attaches the fused-matvec
+    plan itself when opts.pallas_matvec is set and the padded problem
+    is eligible (Ng == 1, 1024-divisible, <= 1M obs)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _make_problem
+    from theiasfm_tpu.sfm.ba import BAOptions
+    from theiasfm_tpu.sfm.ba.bundle_adjustment import (
+        bundle_adjust_bucketed)
+    import dataclasses
+
+    prob = _make_problem(n_cams=12, n_pts=300, obs_per_pt=4,
+                         dtype=jnp.float32)
+    base = BAOptions(max_iterations=5, cg_iterations=20, loss="huber",
+                     loss_scale=2.0, function_tolerance=0.0)
+    _, s0 = bundle_adjust_bucketed(prob, base)
+    _, s1 = bundle_adjust_bucketed(
+        prob, dataclasses.replace(base, pallas_matvec=True))
+    np.testing.assert_allclose(float(s1.final_cost),
+                               float(s0.final_cost), rtol=1e-3)

@@ -1783,6 +1783,10 @@ def bundle_adjust_bucketed(prob: BAProblem, opts: BAOptions):
     Nc, Np = prob.extrinsics.shape[0], prob.points.shape[0]
     padded = pad_ba_problem(prob)
     opts = dataclasses.replace(opts, point_indices_sorted=True)
+    if (opts.pallas_matvec and padded.intrinsics.shape[0] == 1 and
+            padded.obs_cam.shape[0] % 1024 == 0 and
+            padded.obs_cam.shape[0] <= (1 << 20)):
+        padded = add_pallas_matvec_plan(padded, block=1024)
     out, summary = jitted_bundle_adjust(opts)(padded)
     result = prob._replace(extrinsics=out.extrinsics[:Nc],
                            intrinsics=out.intrinsics[
