@@ -466,12 +466,13 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         idx_flat = prob.pt_idx_map.reshape(-1)
         val_flat = prob.pt_idx_valid.reshape(-1)
 
-        if Kp <= 8 and Np * Kp >= (1 << 21):
+        if Kp <= 8 and Np * Kp >= (1 << 20):
             # short tracks at LARGE scale: one masked gather per slot,
             # accumulated in (Np, F)-class temps. The flat-gather
             # variant below materializes an (Np*Kp, F) temp whose F
             # lanes pad to 128 — 1GB per call at 2M observations
-            # (measured: 2152 cams/2M obs 1.6 -> 3.19 LM iters/s).
+            # (measured: 2152 cams/2M obs 1.6 -> 3.19 LM iters/s;
+            # 1100 cams/1.12M obs 2.76 -> per-slot probe below).
             # Below the threshold the single big gather + matmul wins
             # (measured: 550 cams/560k obs 9.88 vs 8.70) — fixed
             # per-gather overheads dominate when the temp fits easily.
