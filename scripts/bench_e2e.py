@@ -2,9 +2,13 @@
 
 Measures the BASELINE.json "images/s at 1 chip" target on the full
 from-pixels pipeline (SIFT -> cascade matching -> two-view geometric
-verification -> incremental reconstruction), using the reference's own
-test images (data/image/img1-6.png, 800x640) replicated to N distinct
-views. Prints one JSON line with stage seconds and images/s.
+verification -> incremental reconstruction) over N DISTINCT views of
+a synthetic 3D scene (theiasfm_tpu.image.synth) textured from the
+reference's img1.png. Round 3 replicated 6 real images to N, which
+produced duplicate rotation-only pairs and a reconstruction of ZERO
+views while still reporting images/s — this bench now FAILS
+(ok: false, no images_per_sec) unless >= 80% of the views localize
+and the mean reprojection error is < 2 px.
 
 The reference's CPU pipeline on comparable 0.5MP imagery runs vlfeat
 SIFT at ~0.5-1 s/image single-threaded plus O(pairs) matching (its
@@ -23,24 +27,33 @@ import sys
 import tempfile
 import time
 
+import numpy as np
+
 
 def main():
-    n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 18
+    n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
+    import imageio.v3 as iio
+
     from theiasfm_tpu.image import SiftOptions
+    from theiasfm_tpu.image.float_image import load_gray
+    from theiasfm_tpu.image.synth import render_synthetic_views
+    from theiasfm_tpu.sfm.reconstruction import CameraIntrinsicsPrior
     from theiasfm_tpu.sfm.reconstruction_builder import (
         ReconstructionBuilder, ReconstructionBuilderOptions)
 
-    src = [f"/root/reference/data/image/img{i}.png" for i in
-           range(1, 7)]
+    tex = load_gray("/root/reference/data/image/img1.png")
+    views, gt_cams = render_synthetic_views(tex, n_images,
+                                            image_size=(640, 480),
+                                            focal=600.0)
     tmp = tempfile.mkdtemp(prefix="bench_e2e_")
     paths = []
-    for i in range(n_images):
+    for i, im in enumerate(views):
         dst = os.path.join(tmp, f"view{i:03d}.png")
-        shutil.copy(src[i % len(src)], dst)
+        iio.imwrite(dst, (np.clip(im, 0, 1) * 255).astype(np.uint8))
         paths.append(dst)
 
     def run_once():
@@ -50,16 +63,30 @@ def main():
                              max_features_per_octave=512))
         b = ReconstructionBuilder(opts)
         for p in paths:
-            b.add_image(p)
+            prior = CameraIntrinsicsPrior()
+            prior.image_width = 640
+            prior.image_height = 480
+            prior.focal_length = 600.0
+            b.add_image(p, prior=prior)
         t0 = time.perf_counter()
         n_pairs = b.extract_and_match_features()
         t1 = time.perf_counter()
         models = b.build_reconstruction()
         t2 = time.perf_counter()
         n_views = sum(len(m.estimated_views()) for m in models)
+        mean_reproj = float("nan")
+        if models and n_views:
+            from theiasfm_tpu.sfm.pipeline.filters import (
+                _reprojection_errors)
+            _, errors = _reprojection_errors(models[0])
+            errors = np.asarray(errors)
+            errors = errors[np.isfinite(errors)]
+            if len(errors):
+                mean_reproj = float(errors.mean())
         return dict(extract_match_s=t1 - t0, reconstruct_s=t2 - t1,
                     total_s=t2 - t0, n_pairs=n_pairs,
-                    n_estimated_views=n_views)
+                    n_estimated_views=n_views,
+                    mean_reproj_px=mean_reproj)
 
     # first run pays all jit compiles; the steady-state rep is the
     # throughput number (a production deployment runs warm)
@@ -69,15 +96,26 @@ def main():
         r = run_once()
         if best is None or r["total_s"] < best["total_s"]:
             best = r
-    images_per_sec = n_images / best["total_s"]
-    print(json.dumps({
-        "ok": True, "n_images": n_images,
-        "images_per_sec": round(images_per_sec, 3),
-        "warm": {k: round(v, 2) if isinstance(v, float) else v
+    ok = (best["n_estimated_views"] >= 0.8 * n_images and
+          np.isfinite(best["mean_reproj_px"]) and
+          best["mean_reproj_px"] < 2.0)
+    out = {
+        "ok": bool(ok), "n_images": n_images,
+        "warm": {k: round(v, 3) if isinstance(v, float) else v
                  for k, v in best.items()},
         "cold_total_s": round(cold["total_s"], 2),
-    }))
+    }
+    if ok:
+        out["images_per_sec"] = round(n_images / best["total_s"], 3)
+    else:
+        out["fail_reason"] = (
+            f"reconstructed {best['n_estimated_views']}/{n_images} "
+            f"views, mean reproj {best['mean_reproj_px']:.2f} px "
+            "(need >= 80% views and < 2 px)")
+    print(json.dumps(out))
     shutil.rmtree(tmp, ignore_errors=True)
+    if not ok:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -38,6 +38,69 @@ def test_verify_matches_full_stack(rng, key):
     assert ang < 1.5, ang
 
 
+def test_homography_inlier_degeneracy_flag(rng, key):
+    """A planar / rotation-only pair must report a high homography
+    inlier fraction, a general 3D pair a lower one — the signal the
+    incremental seed ranking sorts by (ref CountHomographyInliers,
+    two_view_match_geometric_verification.cc:328-363 and the ordering
+    at incremental_reconstruction_estimator.cc:390-411)."""
+    focal = 600.0
+    pp = (320.0, 240.0)
+    aa = np.array([0.05, -0.1, 0.04])
+    R = np.asarray(rot.angle_axis_to_rotation_matrix(jnp.asarray(aa)))
+    t = np.array([1.0, 0.1, -0.05])
+
+    # planar scene: all points on z = 6 plane
+    plane = rng.uniform([-2, -2, 6], [2, 2, 6.0001], size=(150, 3))
+    # general scene: deep frustum
+    deep = rng.uniform([-2, -2, 4], [2, 2, 14], size=(150, 3))
+
+    def project_pair(pts):
+        p2 = pts @ R.T + t
+        pix1 = pts[:, :2] / pts[:, 2:] * focal + pp
+        pix2 = p2[:, :2] / p2[:, 2:] * focal + pp
+        pix1 += rng.normal(scale=0.3, size=pix1.shape)
+        return pix1, pix2
+
+    k1, k2 = jax.random.split(key)
+    i_plane, _ = verify_matches(k1, *project_pair(plane), focal, focal,
+                                pp, pp, image_size1=(640, 480),
+                                image_size2=(640, 480))
+    i_deep, _ = verify_matches(k2, *project_pair(deep), focal, focal,
+                               pp, pp, image_size1=(640, 480),
+                               image_size2=(640, 480))
+    assert i_plane is not None and i_deep is not None
+    frac_plane = (i_plane.num_homography_inliers /
+                  max(i_plane.num_verified_matches, 1))
+    frac_deep = (i_deep.num_homography_inliers /
+                 max(i_deep.num_verified_matches, 1))
+    assert frac_plane > 0.85, frac_plane
+    assert frac_deep < 0.6, frac_deep
+
+
+def test_seed_pair_ordering_prefers_non_degenerate():
+    """_order_initial_pairs sorts by (h_inliers, -verified)."""
+    from theiasfm_tpu.sfm.pipeline.incremental import (
+        IncrementalOptions, _order_initial_pairs)
+    from theiasfm_tpu.sfm.reconstruction import Reconstruction
+    from theiasfm_tpu.sfm.view_graph import TwoViewInfo, ViewGraph
+
+    recon = Reconstruction()
+    graph = ViewGraph()
+    vids = [recon.add_view(f"v{i}") for i in range(3)]
+    graph.add_edge(vids[0], vids[1], TwoViewInfo(
+        num_verified_matches=200, num_homography_inliers=190))
+    graph.add_edge(vids[1], vids[2], TwoViewInfo(
+        num_verified_matches=150, num_homography_inliers=20))
+    graph.add_edge(vids[0], vids[2], TwoViewInfo(
+        num_verified_matches=180, num_homography_inliers=20))
+    ordered = _order_initial_pairs(recon, graph, IncrementalOptions())
+    # fewest homography inliers first; ties by more verified matches
+    assert ordered[0] == (vids[0], vids[2])
+    assert ordered[1] == (vids[1], vids[2])
+    assert ordered[2] == (vids[0], vids[1])
+
+
 def test_verify_rejects_garbage(rng, key):
     pix1 = rng.uniform(0, 640, (100, 2))
     pix2 = rng.uniform(0, 640, (100, 2))

@@ -172,7 +172,9 @@ class FeatureMatcher:
                     k, corr[:, :2], corr[:, 2:], f1, f2, pp1, pp2, gv,
                     kp1_all=kp1p[i], kp2_all=kp2p[i],
                     desc1=jnp.asarray(d1[i]), desc2=jnp.asarray(d2[i]),
-                    mask1=m1[i], mask2=m2[i])
+                    mask1=m1[i], mask2=m2[i],
+                    image_size1=_image_size(prior1),
+                    image_size2=_image_size(prior2))
                 if info is None:
                     continue
                 corr = corr_v
@@ -184,6 +186,12 @@ class FeatureMatcher:
             self.db.put_match(a, b, m)
             n_verified += 1
         return n_verified
+
+
+def _image_size(prior):
+    if prior is None or not (prior.image_width or prior.image_height):
+        return None
+    return (prior.image_width, prior.image_height)
 
 
 def _focal_pp(prior):

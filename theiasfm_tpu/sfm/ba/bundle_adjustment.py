@@ -546,13 +546,12 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
                 Jp.reshape(M_, 6))
 
     # Fused-kernel eligibility (see pallas_matvec.py): shared across
-    # make_blocks and the CG matvec. The measured crossover gates the
-    # kernels at 1M observations (ids ride whole in VMEM).
+    # make_blocks and the CG matvec. The round-3 1M-observation cap is
+    # gone: ids now stream per tile instead of living whole in VMEM.
     _pallas_ok = (opts.pallas_matvec and Ng == 1 and
                   opts.axis_name is None and
                   prob.pmv_p0 is not None and
-                  dtype == jnp.float32 and
-                  prob.obs_cam.shape[0] <= (1 << 20))
+                  dtype == jnp.float32)
     _pallas_blocks_ok = _pallas_ok and opts.pallas_blocks
     if _pallas_blocks_ok:
         from .pallas_matvec import FusedBlocks, PlanShapes
@@ -707,10 +706,6 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         diag_c = lam * jnp.einsum("nii->ni", Hcc)          # (Nc,6)
         diag_g = lam * jnp.einsum("nii->ni", Hgg)          # (Ng,P)
 
-        # measured crossover (ROADMAP round-3): the kernels WIN at
-        # Notre-Dame scale (10.63 vs 9.88 iters/s, 560k obs) where the
-        # per-tile id arrays fit VMEM, and LOSE at 2M obs (2.18 vs
-        # 3.19) where the 2*M*4-byte id residency spills — gate at 1M.
         use_pallas_mv = _pallas_ok
         if use_pallas_mv:
             from .pallas_matvec import FusedMatvec, PlanShapes
@@ -1785,8 +1780,7 @@ def bundle_adjust_bucketed(prob: BAProblem, opts: BAOptions):
     padded = pad_ba_problem(prob)
     opts = dataclasses.replace(opts, point_indices_sorted=True)
     if (opts.pallas_matvec and padded.intrinsics.shape[0] == 1 and
-            padded.obs_cam.shape[0] % 1024 == 0 and
-            padded.obs_cam.shape[0] <= (1 << 20)):
+            padded.obs_cam.shape[0] % 1024 == 0):
         padded = add_pallas_matvec_plan(padded, block=1024)
     out, summary = jitted_bundle_adjust(opts)(padded)
     result = prob._replace(extrinsics=out.extrinsics[:Nc],

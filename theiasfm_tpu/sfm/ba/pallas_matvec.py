@@ -30,9 +30,10 @@ compile helper rejects compact (M*F/128, 128) -> (B, F) in-kernel
 reshapes ("unsupported shape cast") and 1-D block specs, so the
 jacobians ride as (B, F) blocks of the UNPACKED (M, F) arrays
 (strided DMA reads pay some padding amplification, but no (M, 128)
-temporaries are ever written) and the per-tile id vectors ride as
-WHOLE (G, B) VMEM arrays with a dynamic row read per grid step —
-which caps deployment at 2*M*4 bytes of VMEM for ids (~1M obs).
+temporaries are ever written). The per-tile id vectors stream as
+(B, 2) blocks of ONE (M, 2) int32 array — the same auto-pipelined
+BlockSpec pattern — which removed the round-3 whole-(G, B)-VMEM id
+residency and with it the ~1M-observation deployment ceiling.
 Correctness: tests/test_pallas_matvec.py (per-pass numerics vs an
 einsum reference + a full-LM equivalence gate).
 
@@ -129,15 +130,16 @@ def _gather_rows(table, ids, width):
 
 
 def _pass1_kernel(B, W, Ncp, P, mv_dtype,
-                  p0_ref, cam_ref, lpt_ref, jc_ref, ji_ref, jp_ref,
+                  p0_ref, ids_ref, jc_ref, ji_ref, jp_ref,
                   vc_ref, vgmat_ref, wp_in_ref, u_ref, wp_ref):
     """u = Jc vc[cam] + Ji vg ; wp[window] += onehot^T (Jp^T u)."""
     i = pl.program_id(0)
     jc = jc_ref[...]
     jp = jp_ref[...]
     ji = ji_ref[...]
-    cam = cam_ref[i, :]
-    lpt = lpt_ref[i, :]
+    row = (2 * i) % 8             # tile's row pair in the superblock
+    cam = ids_ref[row, :]
+    lpt = ids_ref[row + 1, :]
     vc_m = _gather_rows(vc_ref[...], cam, Ncp).astype(mv_dtype)
     u0 = jnp.sum((jc[:, 0:6] * vc_m).astype(jnp.float32), axis=1)
     u1 = jnp.sum((jc[:, 6:12] * vc_m).astype(jnp.float32), axis=1)
@@ -171,7 +173,7 @@ def _pass1_kernel(B, W, Ncp, P, mv_dtype,
 
 
 def _pass2_kernel(B, W, Ncp, P, mv_dtype,
-                  p0_ref, cam_ref, lpt_ref, jc_ref, ji_ref, jp_ref,
+                  p0_ref, ids_ref, jc_ref, ji_ref, jp_ref,
                   u_ref, zp_ref, yc_ref, yg_ref, acc_c, acc_g):
     """d = u - Jp zp[pt]; yc += onehot(cam)^T (Jc^T d); yg += Ji^T d."""
     i = pl.program_id(0)
@@ -185,8 +187,9 @@ def _pass2_kernel(B, W, Ncp, P, mv_dtype,
     jc = jc_ref[...]
     jp = jp_ref[...]
     ji = ji_ref[...]
-    cam = cam_ref[i, :]
-    lpt = lpt_ref[i, :]
+    row = (2 * i) % 8
+    cam = ids_ref[row, :]
+    lpt = ids_ref[row + 1, :]
     u = u_ref[...]
 
     def body(zbuf, dma_sem):
@@ -244,8 +247,20 @@ class FusedMatvec:
         lpt_t = (jnp.asarray(plan.local_pt) if lpt_tiles is None
                  else lpt_tiles)
         G, B = plan.G, plan.B
-        self.cam_tiles = cam_t.reshape(G, B)
-        self.lpt_tiles = lpt_t.reshape(G, B)
+        # ids stream as (8, B) superblocks of a compact (G8, B) int32
+        # array (cam rows interleaved with local-point rows: row
+        # 2*g is cam ids of tile g, 2*g+1 its local point ids, padded
+        # to a multiple of 8 rows). B is a 128-multiple so the layout
+        # is compact in HBM (an (M, 2) layout would physically pad to
+        # (M, 128) — measured 22% slower at 550 cams), the 8-row
+        # superblock satisfies Mosaic's sublane rule, and Pallas only
+        # re-DMAs when the block index i//4 changes — one 8*B*4-byte
+        # fetch per 4 tiles. This replaces the round-3 whole-VMEM id
+        # residency that capped deployment at ~1M observations.
+        rows = jnp.stack([cam_t.reshape(G, B), lpt_t.reshape(G, B)],
+                         axis=1).reshape(2 * G, B).astype(jnp.int32)
+        G8 = _round_up(2 * G, 8)
+        self.ids = jnp.zeros((G8, B), jnp.int32).at[:2 * G].set(rows)
         self.p0 = jnp.asarray(plan.tile_p0) if p0 is None else p0
 
     def _jspec(self, F):
@@ -258,12 +273,15 @@ class FusedMatvec:
                             memory_space=pltpu.VMEM)
 
     def _idspec(self):
-        # ids ride as WHOLE (G, B) VMEM arrays with a dynamic row read
-        # per grid step: this runner's AOT helper crashes on ANY 1-D
-        # block spec, and a (1, B) block violates Mosaic's
-        # (8, 128)-divisibility rule. Cost: both id arrays resident in
-        # VMEM (2*M*4 bytes) — the deployment gate caps M accordingly.
-        return pl.BlockSpec(memory_space=pltpu.VMEM)
+        # (8, B) superblock of the interleaved compact (G8, B) ids:
+        # tile g needs rows 2g (cam) and 2g+1 (lpt), i.e. superblock
+        # g // 4, rows (2g) % 8 and (2g+1) % 8. Pallas re-fetches only
+        # when g // 4 changes (1-D block specs crash this runner's AOT
+        # helper and a (1, B)/(2, B) block violates Mosaic's 8-sublane
+        # rule; an 8-row block satisfies it and stays compact).
+        B = self.plan.B
+        return pl.BlockSpec((8, B), lambda i, p0: (i // 4, 0),
+                            memory_space=pltpu.VMEM)
 
     def pass1(self, jc_c, ji_c, jp_c, vc_pad, vgmat):
         plan, P = self.plan, self.P
@@ -275,8 +293,7 @@ class FusedMatvec:
             num_scalar_prefetch=1,
             grid=(G,),
             in_specs=[
-                self._idspec(),                         # cam ids
-                self._idspec(),                         # local pt ids
+                self._idspec(),                         # ids (B, 2)
                 self._jspec(12), self._jspec(2 * P), self._jspec(6),
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # vc (Ncp, 6)
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # vgmat (2P, 2)
@@ -297,11 +314,11 @@ class FusedMatvec:
                                      jnp.float32),
             ],
             # input index counts the scalar-prefetch arg: p0(0),
-            # cam(1), lpt(2), jc(3), ji(4), jp(5), vc(6), vgmat(7),
-            # wp0(8) -> aliases output 1
-            input_output_aliases={8: 1},
+            # ids(1), jc(2), ji(3), jp(4), vc(5), vgmat(6),
+            # wp0(7) -> aliases output 1
+            input_output_aliases={7: 1},
             interpret=self.interpret,
-        )(self.p0, self.cam_tiles, self.lpt_tiles, jc_c, ji_c, jp_c,
+        )(self.p0, self.ids, jc_c, ji_c, jp_c,
           vc_pad, vgmat, wp0)
         return u, wp
 
@@ -314,7 +331,7 @@ class FusedMatvec:
             num_scalar_prefetch=1,
             grid=(G,),
             in_specs=[
-                self._idspec(), self._idspec(),
+                self._idspec(),
                 self._jspec(12), self._jspec(2 * P), self._jspec(6),
                 self._jspec(2),                         # u compact
                 pl.BlockSpec(memory_space=pltpu.HBM),   # zp HBM
@@ -334,13 +351,13 @@ class FusedMatvec:
                 jax.ShapeDtypeStruct((2 * P, 2), jnp.float32),
             ],
             interpret=self.interpret,
-        )(self.p0, self.cam_tiles, self.lpt_tiles, jc_c, ji_c, jp_c,
+        )(self.p0, self.ids, jc_c, ji_c, jp_c,
           u_c, zp_pad)
         return yc, yg
 
 
 def _blocks_kernel(B, W, Ncp, P,
-                   p0_ref, cam_ref, lpt_ref, jc_ref, ji_ref, jp_ref,
+                   p0_ref, ids_ref, jc_ref, ji_ref, jp_ref,
                    r_ref, pt_in_ref, pt_ref, cam_out_ref, gx_ref,
                    gy_ref, acc_cam, acc_x, acc_y):
     """Undamped normal-equation blocks in ONE observation sweep
@@ -362,8 +379,9 @@ def _blocks_kernel(B, W, Ncp, P,
     ji = ji_ref[...]
     jp = jp_ref[...]
     r = r_ref[...]
-    cam = cam_ref[i, :]
-    lpt = lpt_ref[i, :]
+    row = (2 * i) % 8
+    cam = ids_ref[row, :]
+    lpt = ids_ref[row + 1, :]
 
     pt_cols = [jp[:, a] * jp[:, c] + jp[:, 3 + a] * jp[:, 3 + c]
                for a in range(3) for c in range(3)]
@@ -426,7 +444,7 @@ class FusedBlocks:
             num_scalar_prefetch=1,
             grid=(G,),
             in_specs=[
-                fm._idspec(), fm._idspec(),
+                fm._idspec(),
                 fm._jspec(12), fm._jspec(2 * P), fm._jspec(6),
                 fm._jspec(2),                           # residuals
                 pl.BlockSpec(memory_space=pltpu.HBM),   # pt zero init
@@ -442,8 +460,8 @@ class FusedBlocks:
                             pltpu.VMEM((2 * P, 2), jnp.float32)],
         )
         pt0 = jnp.zeros((plan.Np_pad, 128), jnp.float32)
-        # input index incl. scalar prefetch: p0(0), cam(1), lpt(2),
-        # jc(3), ji(4), jp(5), r(6), pt0(7) -> aliases output 0
+        # input index incl. scalar prefetch: p0(0), ids(1),
+        # jc(2), ji(3), jp(4), r(5), pt0(6) -> aliases output 0
         pt, camb, X2, Y2 = pl.pallas_call(
             kern,
             grid_spec=grid_spec,
@@ -453,7 +471,7 @@ class FusedBlocks:
                 jax.ShapeDtypeStruct((2 * P, 2 * P), jnp.float32),
                 jax.ShapeDtypeStruct((2 * P, 2), jnp.float32),
             ],
-            input_output_aliases={7: 0},
+            input_output_aliases={6: 0},
             interpret=fm.interpret,
-        )(fm.p0, fm.cam_tiles, fm.lpt_tiles, jc, ji, jp, r, pt0)
+        )(fm.p0, fm.ids, jc, ji, jp, r, pt0)
         return pt, camb, X2, Y2

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...utils import next_bucket, pad_to
+from ...utils import count_dispatch, next_bucket, pad_to
 from .. import triangulation as tri
 from ..reconstruction import Reconstruction
 from ...utils.precision import geometry_precision
@@ -101,6 +101,7 @@ def estimate_all_tracks(recon: Reconstruction,
             pixels[i, j] = recon.views[v].features[t]
             mask[i, j] = True
 
+    count_dispatch("triangulate_tracks")
     X, angles, max_err, in_front = _triangulate_tracks_device(
         jnp.asarray(Ps), jnp.asarray(origins), jnp.asarray(pixels),
         jnp.asarray(mask), max_views)

@@ -37,10 +37,41 @@ class GeometricVerificationOptions:
     final_max_reprojection_error_pixels: float = 4.0
 
 
+def count_homography_inliers(key, pix1, pix2,
+                             max_sampson_error_pixels: float,
+                             image_size1=None, image_size2=None,
+                             num_hypotheses: int = 256) -> int:
+    """4-pt homography RANSAC over putative matches; returns the inlier
+    count used to flag rotation-only / planar-degenerate pairs.
+
+    ref: two_view_match_geometric_verification.cc:328-363
+    (CountHomographyInliers) with the resolution-scaled threshold of
+    reconstruction_estimator_utils.cc:95-106 (max_dim / 1024); the
+    incremental estimator seeds from the pair with FEWEST homography
+    inliers (incremental_reconstruction_estimator.cc:390-411).
+    """
+    from ..estimators import estimate_homography
+
+    def _scale(size):
+        if not size or (not size[0] and not size[1]):
+            return 1.0
+        return max(size[0], size[1]) / 1024.0
+
+    thresh = (max_sampson_error_pixels * _scale(image_size1) *
+              max_sampson_error_pixels * _scale(image_size2))
+    from ...solvers import RansacOptions
+    ropts = RansacOptions(error_thresh=float(thresh),
+                          num_hypotheses=num_hypotheses)
+    out = estimate_homography(key, jnp.asarray(pix1),
+                              jnp.asarray(pix2), ropts)
+    return int(out["num_inliers"])
+
+
 def verify_matches(key, pix1, pix2, focal1, focal2, pp1, pp2,
                    opts: GeometricVerificationOptions = None,
                    kp1_all=None, kp2_all=None, desc1=None, desc2=None,
-                   mask1=None, mask2=None):
+                   mask1=None, mask2=None,
+                   image_size1=None, image_size2=None):
     """Verify putative matches between two calibrated views.
 
     pix1/pix2: (N, 2) putative match pixel coords. Optional kp/desc
@@ -48,6 +79,14 @@ def verify_matches(key, pix1, pix2, focal1, focal2, pp1, pp2,
     (TwoViewInfo or None, inlier_correspondences (M, 4)).
     """
     opts = opts or GeometricVerificationOptions()
+    # 0. homography inlier count over the putative matches (computed
+    # before any filtering, like the reference at
+    # two_view_match_geometric_verification.cc:124)
+    key, k_h = jax.random.split(key)
+    num_h = count_homography_inliers(
+        k_h, pix1, pix2, opts.estimate_twoview_info
+        .max_sampson_error_pixels, image_size1, image_size2,
+        num_hypotheses=opts.estimate_twoview_info.num_hypotheses)
     # 1. two-view estimation
     info, inliers = estimate_twoview_info(
         key, jnp.asarray(pix1), jnp.asarray(pix2), focal1, focal2,
@@ -129,5 +168,6 @@ def verify_matches(key, pix1, pix2, focal1, focal2, pp1, pp2,
         rotation_2=np.asarray(rot.rotation_matrix_to_angle_axis(
             jnp.asarray(R))),
         position_2=-R.T @ t,
-        num_verified_matches=int(keep.sum()))
+        num_verified_matches=int(keep.sum()),
+        num_homography_inliers=int(num_h))
     return out, np.concatenate([corr1[keep], corr2[keep]], axis=1)

@@ -28,7 +28,7 @@ from ..view_graph import ViewGraph
 from .estimate_tracks import EstimateTracksOptions, estimate_all_tracks
 from .filters import (set_outlier_tracks_to_unestimated,
                       set_underconstrained_as_unestimated)
-from .incremental import IncrementalOptions, _choose_initial_pair, _run_ba
+from .incremental import IncrementalOptions, _order_initial_pairs, _run_ba
 from .localize import LocalizeOptions
 from ...utils.precision import geometry_precision
 
@@ -43,18 +43,19 @@ class HybridOptions:
     seed: int = 0
 
 
-def position_from_rays_spec(orientation_aa) -> MinimalSolverSpec:
+def position_from_rays_data_spec() -> MinimalSolverSpec:
     """Known-rotation 2-point position RANSAC estimator.
 
-    Data: {"world": (N, 3), "image": (N, 2) normalized}. The camera
-    rotation R is FIXED (global rotation averaging); only position c is
-    estimated: world ray direction d_i = R^T [x_i, 1]; c is the point
-    minimizing distance to the two lines {X_i - s d_i}.
+    Data: {"world": (N, 3), "image": (N, 2) normalized, "R": (N, 3, 3)
+    the FIXED camera rotation replicated per row so the spec stays
+    row-sampleable and the whole thing vmaps across views with
+    different orientations}. Only position c is estimated: world ray
+    direction d_i = R^T [x_i, 1]; c is the point minimizing distance to
+    the two lines {X_i - s d_i}.
     ref: position_from_two_rays.h semantics.
     """
-    R = rot.angle_axis_to_rotation_matrix(orientation_aa)
-
     def solve(d):
+        R = d["R"][0]
         X = d["world"]                      # (2, 3)
         xh = jnp.concatenate([d["image"],
                               jnp.ones_like(d["image"][:, :1])], -1)
@@ -70,6 +71,7 @@ def position_from_rays_spec(orientation_aa) -> MinimalSolverSpec:
         return c[None], jnp.ones(1, bool)
 
     def residuals(c, d):
+        R = d["R"][0]
         p_cam = (d["world"] - c) @ R.T
         z = p_cam[:, 2]
         bad = z < 1e-6
@@ -79,6 +81,8 @@ def position_from_rays_spec(orientation_aa) -> MinimalSolverSpec:
 
     def refine(c, d, w):
         # weighted GN on position only (3 params)
+        R = d["R"][0]
+
         def rvec(cc):
             p_cam = (d["world"] - cc) @ R.T
             z = jnp.maximum(p_cam[:, 2], 1e-6)
@@ -100,39 +104,94 @@ def position_from_rays_spec(orientation_aa) -> MinimalSolverSpec:
                              residuals, refine)
 
 
-def localize_view_known_orientation(key, recon: Reconstruction,
-                                    view_id: int,
-                                    opts: LocalizeOptions) -> bool:
-    """Known-orientation localization (ref
-    localize_view_to_reconstruction.h option
-    assume_known_orientation)."""
-    view = recon.views[view_id]
-    cam = view.camera
-    world, image = [], []
-    for t, feat in view.features.items():
-        tr = recon.tracks.get(t)
-        if tr is not None and tr.is_estimated:
-            world.append(tr.xyz())
-            image.append(feat)
-    if len(world) < max(opts.min_num_inliers, 3):
-        return False
-    world = np.stack(world)
-    image = np.stack(image)
-    focal = cam.intrinsics[0]
-    pp = cam.intrinsics[3:5]
-    norm = (image - pp) / focal
-    thresh = opts.reprojection_error_threshold_pixels / focal
-    spec = position_from_rays_spec(jnp.asarray(cam.extrinsics[3:6]))
-    ropts = RansacOptions(error_thresh=float(thresh) ** 2,
-                          num_hypotheses=opts.num_hypotheses)
-    c, summary = ransac(key, spec,
-                        {"world": jnp.asarray(world),
-                         "image": jnp.asarray(norm)}, ropts)
-    if int(summary.num_inliers) < opts.min_num_inliers:
-        return False
-    cam.extrinsics[:3] = np.asarray(c)
-    view.is_estimated = True
-    return True
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_known_orientation_batch(num_hypotheses: int):
+    """One vmapped known-rotation position RANSAC over (V, N) views."""
+    spec = position_from_rays_data_spec()
+    ropts = RansacOptions(error_thresh=1.0,
+                          num_hypotheses=num_hypotheses)
+
+    @jax.jit
+    def run(keys, world, image, R, mask, thresh):
+        def one(k, w, im, Rv, m, th):
+            sspec = dataclasses.replace(
+                spec,
+                residuals=lambda c, d: spec.residuals(c, d) / th)
+            data = {"world": w, "image": im,
+                    "R": jnp.broadcast_to(Rv, (w.shape[0], 3, 3))}
+            c, summary = ransac(k, sspec, data, ropts, data_mask=m)
+            return c, summary.num_inliers
+
+        return jax.vmap(one)(keys, world, image, R, mask, thresh)
+
+    return run
+
+
+@geometry_precision
+def localize_views_known_orientation_batch(
+        key, recon: Reconstruction, view_ids, opts: LocalizeOptions):
+    """Known-orientation localization of MANY views in ONE dispatch
+    (ref localize_view_to_reconstruction.h option
+    assume_known_orientation; per-round batching replaces the
+    reference's per-view calls). Returns {view_id: success}."""
+    from ...utils import count_dispatch, next_bucket
+    prepared = []
+    for vid in view_ids:
+        view = recon.views[vid]
+        cam = view.camera
+        world, image = [], []
+        for t, feat in view.features.items():
+            tr = recon.tracks.get(t)
+            if tr is not None and tr.is_estimated:
+                world.append(tr.xyz())
+                image.append(feat)
+        if len(world) < max(opts.min_num_inliers, 3):
+            continue
+        focal = cam.intrinsics[0]
+        pp = cam.intrinsics[3:5]
+        norm = (np.stack(image) - pp) / focal
+        thresh = (opts.reprojection_error_threshold_pixels / focal) ** 2
+        R = np.asarray(rot.angle_axis_to_rotation_matrix(
+            jnp.asarray(cam.extrinsics[3:6])))
+        prepared.append((vid, np.stack(world), norm, R, thresh))
+    if not prepared:
+        return {}
+
+    V = len(prepared)
+    N = next_bucket(max(len(w) for _, w, _, _, _ in prepared), 64)
+    world = np.zeros((V, N, 3))
+    world[..., 2] = 1.0
+    image = np.zeros((V, N, 2))
+    Rs = np.zeros((V, 3, 3))
+    mask = np.zeros((V, N), bool)
+    thresh = np.zeros(V)
+    for i, (vid, w, im, R, th) in enumerate(prepared):
+        n = len(w)
+        world[i, :n] = w
+        image[i, :n] = im
+        Rs[i] = R
+        mask[i, :n] = True
+        thresh[i] = th
+
+    keys = jax.random.split(key, V)
+    count_dispatch("localize_known_orientation_batch")
+    c, n_inl = _jitted_known_orientation_batch(opts.num_hypotheses)(
+        keys, jnp.asarray(world), jnp.asarray(image), jnp.asarray(Rs),
+        jnp.asarray(mask), jnp.asarray(thresh))
+    c = np.asarray(c)
+    n_inl = np.asarray(n_inl)
+
+    results = {}
+    for i, (vid, _, _, _, _) in enumerate(prepared):
+        ok = int(n_inl[i]) >= opts.min_num_inliers
+        results[vid] = ok
+        if ok:
+            recon.views[vid].camera.extrinsics[:3] = c[i]
+            recon.views[vid].is_estimated = True
+    return results
 
 
 @geometry_precision
@@ -161,10 +220,10 @@ def hybrid_reconstruction(recon: Reconstruction, graph: ViewGraph,
 
     # 2. incremental positions with known orientations
     iopts = opts.incremental
-    pair = _choose_initial_pair(recon, graph, iopts)
-    if pair is None:
+    pairs = _order_initial_pairs(recon, graph, iopts)
+    if not pairs:
         return {"success": False, "reason": "no initial pair"}
-    v1, v2 = pair
+    v1, v2 = pairs[0]
     info = graph.edge(v1, v2)
     # place pair using the averaged rotations + pairwise translation
     R1 = np.asarray(rot.angle_axis_to_rotation_matrix(
@@ -190,20 +249,19 @@ def hybrid_reconstruction(recon: Reconstruction, graph: ViewGraph,
         if not candidates:
             break
         candidates.sort(reverse=True)
-        localized_any = False
-        for _, v in candidates[:8]:
-            key, k = jax.random.split(key)
-            if localize_view_known_orientation(k, recon, v,
-                                               iopts.localize):
-                localized_any = True
-                estimate_all_tracks(recon, iopts.tracks)
-                _run_ba(recon, iopts)
-                set_outlier_tracks_to_unestimated(
-                    recon, iopts.max_reprojection_error_pixels,
-                    iopts.min_triangulation_angle_degrees)
-                set_underconstrained_as_unestimated(recon)
-        if not localized_any:
+        key, k = jax.random.split(key)
+        round_views = [v for _, v in
+                       candidates[:iopts.localize_round_size]]
+        results = localize_views_known_orientation_batch(
+            k, recon, round_views, iopts.localize)
+        if not any(results.values()):
             break
+        estimate_all_tracks(recon, iopts.tracks)
+        _run_ba(recon, iopts)
+        set_outlier_tracks_to_unestimated(
+            recon, iopts.max_reprojection_error_pixels,
+            iopts.min_triangulation_angle_degrees)
+        set_underconstrained_as_unestimated(recon)
 
     estimate_all_tracks(recon, iopts.tracks)
     _run_ba(recon, iopts, polish=True)

@@ -29,7 +29,8 @@ from ..view_graph import ViewGraph
 from .estimate_tracks import EstimateTracksOptions, estimate_all_tracks
 from .filters import (set_outlier_tracks_to_unestimated,
                       set_underconstrained_as_unestimated)
-from .localize import LocalizeOptions, localize_view
+from .localize import (LocalizeOptions, localize_view,
+                       localize_views_batch)
 from ...utils.precision import geometry_precision
 
 logger = logging.getLogger(__name__)
@@ -45,6 +46,8 @@ class IncrementalOptions:
     full_bundle_adjustment_growth_percent: float = 5.0
     partial_ba_num_views: int = 20
     min_num_two_view_inliers: int = 30
+    # max candidate views localized per vmapped RANSAC round
+    localize_round_size: int = 16
     localize: LocalizeOptions = LocalizeOptions()
     tracks: EstimateTracksOptions = EstimateTracksOptions()
     intrinsics_optimized: Tuple[bool, ...] = (False,) * 10
@@ -58,25 +61,24 @@ class IncrementalOptions:
     final_polish_x64: bool = False
 
 
-def _choose_initial_pair(recon: Reconstruction, graph: ViewGraph,
+def _order_initial_pairs(recon: Reconstruction, graph: ViewGraph,
                          opts: IncrementalOptions):
-    """Best verified + wide-baseline pair (ref ChooseInitialViewPair,
-    incremental_reconstruction_estimator.cc:323+): rank by number of
-    verified matches, require a non-degenerate baseline (we use the
-    homography-vs-epipolar criterion when available, else matches)."""
-    best, best_score = None, -1.0
+    """Seed-pair ranking, reference-exact ordering: sort candidate
+    edges by (num_homography_inliers asc, num_verified_matches desc) —
+    the pair LEAST well modelled by a homography (widest baseline /
+    least rotation-only) with the most essential-matrix inliers wins
+    (ref OrderViewPairsByInitializationCriterion,
+    incremental_reconstruction_estimator.cc:380-411)."""
+    cands = []
     for (v1, v2), info in graph.edges().items():
         if info.num_verified_matches < opts.min_num_two_view_inliers:
             continue
         if not (recon.views[v1].is_estimated or
                 recon.views[v2].is_estimated):
-            # prefer many matches and small homography fraction
-            h_frac = (info.num_homography_inliers /
-                      max(info.num_verified_matches, 1))
-            score = info.num_verified_matches * (1.0 - 0.5 * h_frac)
-            if score > best_score:
-                best, best_score = (v1, v2), score
-    return best
+            cands.append((info.num_homography_inliers,
+                          -info.num_verified_matches, (v1, v2)))
+    cands.sort()
+    return [p for _, _, p in cands]
 
 
 def _initialize_from_pair(recon: Reconstruction, graph: ViewGraph,
@@ -114,6 +116,8 @@ def _run_ba(recon: Reconstruction, opts: IncrementalOptions,
         for i, v in enumerate(vids):
             if v not in sub:
                 cam_mask[i] = False
+    from ...utils import count_dispatch
+    count_dispatch("bundle_adjust")
     prob = prob._replace(cam_mask=jnp.asarray(cam_mask))
     focal = float(np.asarray(prob.intrinsics)[0, 0]) if \
         prob.intrinsics.shape[0] else 1.0
@@ -154,8 +158,9 @@ def incremental_reconstruction(recon: Reconstruction, graph: ViewGraph,
                                ) -> Dict:
     """Run the incremental pipeline. Mutates `recon`. Returns summary
     dict (ref ReconstructionEstimatorSummary)."""
-    from ...utils import Timer
+    from ...utils import Timer, dispatch_counts
     total_timer = Timer()
+    dispatches_at_start = dispatch_counts()
     key = jax.random.PRNGKey(opts.seed)
     key, k0 = jax.random.split(key)
 
@@ -165,10 +170,23 @@ def incremental_reconstruction(recon: Reconstruction, graph: ViewGraph,
     if len(recon.estimated_views()) >= 2:
         estimate_all_tracks(recon, opts.tracks)
     else:
-        pair = _choose_initial_pair(recon, graph, opts)
-        if pair is None:
+        # try ordered seed pairs until one initializes (ref
+        # ChooseInitialViewPair loop at
+        # incremental_reconstruction_estimator.cc:323-350)
+        pairs = _order_initial_pairs(recon, graph, opts)
+        if not pairs:
             return {"success": False, "reason": "no initial pair"}
-        if not _initialize_from_pair(recon, graph, pair, opts, k0):
+        initialized = False
+        for pair in pairs[:10]:
+            if _initialize_from_pair(recon, graph, pair, opts, k0):
+                initialized = True
+                break
+            # reset the failed attempt
+            for v in pair:
+                recon.views[v].is_estimated = False
+            for t in recon.tracks.values():
+                t.is_estimated = False
+        if not initialized:
             return {"success": False, "reason": "initialization failed"}
     _run_ba(recon, opts)
     set_outlier_tracks_to_unestimated(
@@ -194,31 +212,39 @@ def incremental_reconstruction(recon: Reconstruction, graph: ViewGraph,
             break
         candidates.sort(reverse=True)
 
-        localized_any = False
-        for _, v in candidates[:8]:
-            key, k = jax.random.split(key)
-            if localize_view(k, recon, v, opts.localize):
-                localized_any = True
-                estimate_all_tracks(recon, opts.tracks,
-                                    track_ids=[t for t in
-                                               recon.views[v].features])
-                n_est = len(recon.estimated_views())
-                growth = (n_est - views_at_last_full_ba) / max(
-                    views_at_last_full_ba, 1) * 100.0
-                if growth >= opts.full_bundle_adjustment_growth_percent:
-                    estimate_all_tracks(recon, opts.tracks)
-                    _run_ba(recon, opts)
-                    views_at_last_full_ba = n_est
-                else:
-                    recent = recon.estimated_views()[
-                        -opts.partial_ba_num_views:]
-                    _run_ba(recon, opts, view_subset=recent)
-                set_outlier_tracks_to_unestimated(
-                    recon, opts.max_reprojection_error_pixels,
-                    opts.min_triangulation_angle_degrees)
-                set_underconstrained_as_unestimated(recon)
-        if not localized_any:
+        # ONE vmapped P3P-RANSAC dispatch localizes the whole round
+        # (the reference loops LocalizeViewToReconstruction per view;
+        # per-view dispatches are latency-bound on TPU)
+        key, k = jax.random.split(key)
+        round_views = [v for _, v in
+                       candidates[:opts.localize_round_size]]
+        results = localize_views_batch(k, recon, round_views,
+                                       opts.localize)
+        newly = [v for v, ok in results.items() if ok]
+        if not newly:
             break
+
+        # ONE batched triangulation over every track touched by the
+        # newly localized views (vs per-view estimate_all_tracks)
+        affected = sorted({t for v in newly
+                           for t in recon.views[v].features})
+        estimate_all_tracks(recon, opts.tracks, track_ids=affected)
+
+        n_est = len(recon.estimated_views())
+        growth = (n_est - views_at_last_full_ba) / max(
+            views_at_last_full_ba, 1) * 100.0
+        if growth >= opts.full_bundle_adjustment_growth_percent:
+            estimate_all_tracks(recon, opts.tracks)
+            _run_ba(recon, opts)
+            views_at_last_full_ba = n_est
+        else:
+            recent = recon.estimated_views()[
+                -opts.partial_ba_num_views:]
+            _run_ba(recon, opts, view_subset=recent)
+        set_outlier_tracks_to_unestimated(
+            recon, opts.max_reprojection_error_pixels,
+            opts.min_triangulation_angle_degrees)
+        set_underconstrained_as_unestimated(recon)
 
     # final pass
     estimate_all_tracks(recon, opts.tracks)
@@ -227,7 +253,12 @@ def incremental_reconstruction(recon: Reconstruction, graph: ViewGraph,
         recon, opts.max_reprojection_error_pixels,
         opts.min_triangulation_angle_degrees)
     set_underconstrained_as_unestimated(recon)
+    end = dispatch_counts()
+    dispatches = {k2: end.get(k2, 0) - dispatches_at_start.get(k2, 0)
+                  for k2 in end
+                  if end.get(k2, 0) > dispatches_at_start.get(k2, 0)}
     return {"success": True,
             "num_estimated_views": len(recon.estimated_views()),
             "num_estimated_tracks": len(recon.estimated_tracks()),
+            "device_dispatches": dispatches,
             "timings": {"total_time": total_timer.elapsed_seconds()}}
