@@ -28,13 +28,17 @@ def _vgmat(vg, P):
                                  np.concatenate([z, vg])], axis=1))
 
 
-def test_fused_matvec_matches_einsum():
+import pytest
+
+
+@pytest.mark.parametrize("stream", [False, True])
+def test_fused_matvec_matches_einsum(stream):
     rng = np.random.default_rng(0)
     M, Nc, Np, P, B = 1024, 12, 100, 1, 256
     obs_cam, obs_pt, Jc, Ji, Jp, vc, vg, zp = _rand_problem(
         rng, M, Nc, Np, P, B)
     plan = MatvecPlan(obs_cam, obs_pt, Nc, Np, block=B)
-    fm = FusedMatvec(plan, P, interpret=True)
+    fm = FusedMatvec(plan, P, interpret=True, stream_ids=stream)
 
     jc_c = jnp.asarray(Jc)
     ji_c = jnp.asarray(Ji)

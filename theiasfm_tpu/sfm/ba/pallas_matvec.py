@@ -129,7 +129,7 @@ def _gather_rows(table, ids, width):
         preferred_element_type=jnp.float32)
 
 
-def _pass1_kernel(B, W, Ncp, P, mv_dtype,
+def _pass1_kernel(B, W, Ncp, P, mv_dtype, stream,
                   p0_ref, ids_ref, jc_ref, ji_ref, jp_ref,
                   vc_ref, vgmat_ref, wp_in_ref, u_ref, wp_ref):
     """u = Jc vc[cam] + Ji vg ; wp[window] += onehot^T (Jp^T u)."""
@@ -137,7 +137,7 @@ def _pass1_kernel(B, W, Ncp, P, mv_dtype,
     jc = jc_ref[...]
     jp = jp_ref[...]
     ji = ji_ref[...]
-    row = (2 * i) % 8             # tile's row pair in the superblock
+    row = (2 * i) % 8 if stream else 2 * i
     cam = ids_ref[row, :]
     lpt = ids_ref[row + 1, :]
     vc_m = _gather_rows(vc_ref[...], cam, Ncp).astype(mv_dtype)
@@ -172,7 +172,7 @@ def _pass1_kernel(B, W, Ncp, P, mv_dtype,
                   pltpu.SemaphoreType.DMA(()))
 
 
-def _pass2_kernel(B, W, Ncp, P, mv_dtype,
+def _pass2_kernel(B, W, Ncp, P, mv_dtype, stream,
                   p0_ref, ids_ref, jc_ref, ji_ref, jp_ref,
                   u_ref, zp_ref, yc_ref, yg_ref, acc_c, acc_g):
     """d = u - Jp zp[pt]; yc += onehot(cam)^T (Jc^T d); yg += Ji^T d."""
@@ -187,7 +187,7 @@ def _pass2_kernel(B, W, Ncp, P, mv_dtype,
     jc = jc_ref[...]
     jp = jp_ref[...]
     ji = ji_ref[...]
-    row = (2 * i) % 8
+    row = (2 * i) % 8 if stream else 2 * i
     cam = ids_ref[row, :]
     lpt = ids_ref[row + 1, :]
     u = u_ref[...]
@@ -232,9 +232,14 @@ class FusedMatvec:
         yc, yg2 = fm.pass2(jc_c, ji_c, jp_c, u_c, zp_pad)
     """
 
+    # below this many observations the id arrays live whole in VMEM
+    # (measured faster: no per-tile dynamic-row reads); above it they
+    # stream as (8, B) superblocks so VMEM stays bounded at any M
+    STREAM_IDS_ABOVE = 1 << 20
+
     def __init__(self, plan, P, mv_dtype=jnp.float32,
                  interpret=False, cam_tiles=None, lpt_tiles=None,
-                 p0=None):
+                 p0=None, stream_ids=None):
         """plan: a MatvecPlan, or any object with B/W/G/M/cam_pad/
         Np_pad attributes when the tile arrays are passed explicitly
         (the jit-side path pulls them from BAProblem fields)."""
@@ -247,20 +252,35 @@ class FusedMatvec:
         lpt_t = (jnp.asarray(plan.local_pt) if lpt_tiles is None
                  else lpt_tiles)
         G, B = plan.G, plan.B
-        # ids stream as (8, B) superblocks of a compact (G8, B) int32
-        # array (cam rows interleaved with local-point rows: row
-        # 2*g is cam ids of tile g, 2*g+1 its local point ids, padded
-        # to a multiple of 8 rows). B is a 128-multiple so the layout
-        # is compact in HBM (an (M, 2) layout would physically pad to
-        # (M, 128) — measured 22% slower at 550 cams), the 8-row
-        # superblock satisfies Mosaic's sublane rule, and Pallas only
-        # re-DMAs when the block index i//4 changes — one 8*B*4-byte
-        # fetch per 4 tiles. This replaces the round-3 whole-VMEM id
-        # residency that capped deployment at ~1M observations.
-        rows = jnp.stack([cam_t.reshape(G, B), lpt_t.reshape(G, B)],
-                         axis=1).reshape(2 * G, B).astype(jnp.int32)
-        G8 = _round_up(2 * G, 8)
-        self.ids = jnp.zeros((G8, B), jnp.int32).at[:2 * G].set(rows)
+        if stream_ids is None:
+            stream_ids = plan.M > self.STREAM_IDS_ABOVE
+        self.stream_ids = stream_ids
+        if stream_ids:
+            # ids stream as (8, B) superblocks of a compact (G8, B)
+            # int32 array (cam rows interleaved with local-point rows:
+            # row 2*g is cam ids of tile g, 2*g+1 its local point ids,
+            # padded to a multiple of 8 rows). B is a 128-multiple so
+            # the layout is compact in HBM (an (M, 2) layout would
+            # physically pad to (M, 128) — measured 22% slower at 550
+            # cams), the 8-row superblock satisfies Mosaic's sublane
+            # rule, and Pallas only re-DMAs when the block index i//4
+            # changes. This removes the round-3 hard ceiling: VMEM id
+            # cost is 8*B*4 bytes at ANY number of observations.
+            rows = jnp.stack(
+                [cam_t.reshape(G, B), lpt_t.reshape(G, B)],
+                axis=1).reshape(2 * G, B).astype(jnp.int32)
+            G8 = _round_up(2 * G, 8)
+            self.ids = jnp.zeros((G8, B),
+                                 jnp.int32).at[:2 * G].set(rows)
+        else:
+            # whole-VMEM residency + per-tile dynamic row read — the
+            # faster mode while 2*M*4 bytes of ids fit comfortably
+            # (measured at 550 cams: resident 10.6 vs streamed 8.8
+            # LM iters/s). Same interleaved row layout as the stream
+            # mode, just resident: rows 2g / 2g+1 of a (2G, B) array.
+            self.ids = jnp.stack(
+                [cam_t.reshape(G, B), lpt_t.reshape(G, B)],
+                axis=1).reshape(2 * G, B).astype(jnp.int32)
         self.p0 = jnp.asarray(plan.tile_p0) if p0 is None else p0
 
     def _jspec(self, F):
@@ -273,6 +293,8 @@ class FusedMatvec:
                             memory_space=pltpu.VMEM)
 
     def _idspec(self):
+        if not self.stream_ids:
+            return pl.BlockSpec(memory_space=pltpu.VMEM)
         # (8, B) superblock of the interleaved compact (G8, B) ids:
         # tile g needs rows 2g (cam) and 2g+1 (lpt), i.e. superblock
         # g // 4, rows (2g) % 8 and (2g+1) % 8. Pallas re-fetches only
@@ -288,7 +310,7 @@ class FusedMatvec:
         B, W, G, Ncp = plan.B, plan.W, plan.G, plan.cam_pad
         M = plan.M
         kern = functools.partial(_pass1_kernel, B, W, Ncp, P,
-                                 self.mv_dtype)
+                                 self.mv_dtype, self.stream_ids)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(G,),
@@ -326,7 +348,7 @@ class FusedMatvec:
         plan, P = self.plan, self.P
         B, W, G, Ncp = plan.B, plan.W, plan.G, plan.cam_pad
         kern = functools.partial(_pass2_kernel, B, W, Ncp, P,
-                                 self.mv_dtype)
+                                 self.mv_dtype, self.stream_ids)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(G,),
@@ -356,7 +378,7 @@ class FusedMatvec:
         return yc, yg
 
 
-def _blocks_kernel(B, W, Ncp, P,
+def _blocks_kernel(B, W, Ncp, P, stream,
                    p0_ref, ids_ref, jc_ref, ji_ref, jp_ref,
                    r_ref, pt_in_ref, pt_ref, cam_out_ref, gx_ref,
                    gy_ref, acc_cam, acc_x, acc_y):
@@ -379,7 +401,7 @@ def _blocks_kernel(B, W, Ncp, P,
     ji = ji_ref[...]
     jp = jp_ref[...]
     r = r_ref[...]
-    row = (2 * i) % 8
+    row = (2 * i) % 8 if stream else 2 * i
     cam = ids_ref[row, :]
     lpt = ids_ref[row + 1, :]
 
@@ -439,7 +461,8 @@ class FusedBlocks:
         fm = self.fm
         plan, P = fm.plan, fm.P
         B, W, G, Ncp = plan.B, plan.W, plan.G, plan.cam_pad
-        kern = functools.partial(_blocks_kernel, B, W, Ncp, P)
+        kern = functools.partial(_blocks_kernel, B, W, Ncp, P,
+                                 fm.stream_ids)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(G,),
