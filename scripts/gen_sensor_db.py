@@ -757,27 +757,369 @@ ENTRIES = [
     ("Leaf", "mf", "Aptus 22|Aptus 65|Aptus 75|Aptus-II 5|"
      "Aptus-II 8|Aptus-II 10|Credo 40|Credo 60|Credo 80"),
     ("Mamiya", "mf", "ZD|DM22|DM28|DM33|DM40|DM56"),
+    # --------------------------------------------- long-tail families
+    # Olympus C-series (early 1/2-2/3" CCD compacts) + AZ/mju gaps
+    ("Olympus", "1/2.7", "C-1|C-1 Zoom|C-100|C-120|C-150|C-160|"
+     "C-170|C-180|C-120 D-380|C-150 D-390|AZ-1|AZ-1 Ferrari 2004|"
+     "AZ-2 Zoom|C-350 Zoom|C-360 Zoom|C-310 Zoom|C-315 Zoom|"
+     "C-25|C-2 Zoom"),
+    ("Olympus", "1/3.2", "C-300 Zoom|C-220 Zoom|C-ism 01|"
+     "C-990 Zoom|C-960 Zoom"),
+    ("Olympus", "1/2.5", "C-480 Zoom|C-500 Zoom|C-520 Zoom|"
+     "C-540 Zoom|C-550 Zoom|C-560 Zoom|C-570 Zoom|"
+     "SP 700|mju 600|mju 700|mju 710|mju 725 SW|mju 720 SW|"
+     "mju 730|mju 750|mju 760|mju 780|mju 790 SW|mju 800|"
+     "mju 810|mju 820|mju 830|mju 840|mju 850 SW"),
+    ("Olympus", "1/2.33", "SP 800 UZ|SP 600 UZ|SP 590 UZ|"
+     "SP 565 UZ|SP 560 UZ|SP 570 UZ|SP 550 UZ|mju 1040|mju 1050 SW|"
+     "mju 1060|mju 1200|mju 5000|mju 550 WP|mju 850|mju 9000|"
+     "mju 9010|mju 7050|mju 7040|mju 7030|mju 7020|mju 7010|"
+     "mju 7000|mju 6020|mju 6010|mju 6000|mju TOUGH-3000|"
+     "mju TOUGH-6010|mju TOUGH-6020|mju TOUGH-8010"),
+    ("Olympus", "1/2", "C-1000L|C-1400L|C-1400XL|C-820L|C-840L|"
+     "C-900 Zoom|C-920 Zoom|C-980 Zoom|D-200L|D-300L|D-320L|"
+     "D-340L|D-340R|D-360L|D-400 Zoom|D-450 Zoom|D-460 Zoom|"
+     "D-500L|D-600L|D-620L"),
+    ("Olympus", "1/1.8", "C-1040 XR|C-2000 Zoom|C-2020 Zoom|"
+     "C-2040 Zoom|C-2100 UZ|C-3000 Zoom|C-3020 Zoom|C-3030 Zoom|"
+     "C-3040 Zoom|C-4000 Zoom|C-4040 Zoom|C-4100 Zoom|C-50 Zoom|"
+     "C-5050 Zoom|C-5060 Wide Zoom|C-60 Zoom|C-70 Zoom|"
+     "C-700 UZ|C-730 UZ|C-740 UZ|C-750 UZ|C-755 UZ|C-765 UZ|"
+     "C-770 UZ|C-7000 Zoom|C-7070 Wide Zoom|C-8080 Wide Zoom|"
+     "C-200 Zoom|C-211 Zoom|C-21|C-2500L|C-3100 Zoom|C-40 Zoom|"
+     "C-5000 Zoom|C-55 Zoom|C-5500 Zoom|C-720 UZ"),
+    # Fujifilm early FinePix numerics + odds
+    ("Fujifilm", "1/2.7", "FinePix 1400z|FinePix 2300|"
+     "FinePix 2400 Zoom|FinePix 2600 Zoom|FinePix 2650|"
+     "FinePix 2800 Zoom|FinePix 30i|FinePix A101|FinePix A120|"
+     "FinePix A200|FinePix A201|FinePix A202|FinePix A204|"
+     "FinePix A205 Zoom|FinePix A210 Zoom|FinePix A230|"
+     "FinePix 1300|FinePix 1500|FinePix 2200|Digital Q1|A850"),
+    ("Fujifilm", "1/1.7", "FinePix 4700 Zoom|FinePix 4800 Zoom|"
+     "FinePix 4900 Zoom|FinePix 6800 Zoom|FinePix 6900 Zoom|"
+     "FinePix 40i|FinePix 50i|FinePix F601|FinePix F601 Zoom|"
+     "FinePix S602 Zoom|FinePix F700|FinePix F710|FinePix F810|"
+     "FinePix F610|FinePix E550|FinePix S20 Pro|FinePix S7000"),
+    ("Fujifilm", "1/2", "FinePix 1700z|FinePix 4500|FinePix 4700z|"
+     "MX-1200|MX-1700|MX-2700|MX-2900 Zoom|DS-260HD|DS-300|"
+     "Bigjob HD-3W|Bigjob HD1"),
+    ("Fujifilm", "1/2.5", "FinePix A310 Zoom|FinePix A330|"
+     "FinePix A340|FinePix A345|FinePix A350|FinePix A400|"
+     "FinePix A500|FinePix A600|FinePix F401 Zoom|FinePix F402|"
+     "FinePix F410 Zoom|FinePix F420 Zoom|FinePix F440 Zoom|"
+     "FinePix F450 Zoom|FinePix F460|FinePix F470|FinePix F480|"
+     "FinePix M603|FinePix S304|FinePix S3000 Zoom|"
+     "FinePix S3100 Zoom|FinePix S3500 Zoom|FinePix S5000 Zoom|"
+     "FinePix S5100 Zoom|FinePix S5200|FinePix S5500 Zoom|"
+     "FinePix S5600|FinePix Z1|FinePix Z2|FinePix Z3|FinePix Z5fd"),
+    # Sony Alpha / NEX naming variants the EXIF tag actually emits
+    ("Sony", "aps-c-sony", "NEX-7|Alpha a3000|Alpha a5000|"
+     "Alpha a5100|Alpha a6000|A77 II|Alpha DSLR-A100|"
+     "Alpha DSLR-A200|Alpha DSLR-A230|Alpha DSLR-A290|"
+     "Alpha DSLR-A300|Alpha DSLR-A330|Alpha DSLR-A350|"
+     "Alpha DSLR-A380|Alpha DSLR-A390|Alpha DSLR-A450|"
+     "Alpha DSLR-A500|Alpha DSLR-A550|Alpha DSLR-A560|"
+     "Alpha DSLR-A580|Alpha DSLR-A700|Alpha NEX-3|Alpha NEX-3N|"
+     "Alpha NEX-5|Alpha NEX-5N|Alpha NEX-5R|Alpha NEX-5T|"
+     "Alpha NEX-6|Alpha NEX-C3|Alpha NEX-F3|Alpha SLT-A33|"
+     "Alpha SLT-A35|Alpha SLT-A37|Alpha SLT-A55|Alpha SLT-A57|"
+     "Alpha SLT-A58|Alpha SLT-A65|Alpha SLT-A77"),
+    ("Sony", "ff", "Alpha 7|Alpha 7R|Alpha 7S|Alpha 7 II|"
+     "Alpha DSLR-A850|Alpha DSLR-A900|Alpha SLT-A99"),
+    # Kodak DC/DX/CX early lines
+    ("Kodak", "1/2", "DC200|DC200 plus|DC210 plus|DC215|DC220|"
+     "DC240|DC260|DC265|DC280|DC290|DC3200|DC3400|DC4800|DC5000|"
+     "DCS420|DCS460|DC120|DC25|DC40|DC50"),
+    ("Kodak", "1/2.7", "CX4200|CX4210|CX4230|CX4300|CX4310|"
+     "CX6200|CX6230|CX6330|CX6445|CX7220|CX7300|CX7310|CX7330|"
+     "CX7430|CX7525|CX7530|DX3500|DX3600|DX3700|DX3900|DX4330|"
+     "DX4530|DX4900|DX6340|DX6440|DX7440|DX7590|DX7630|C300|"
+     "C310|C330|C340|C360|C433|C503|C530|C533|C603|C610|C643|"
+     "C653|C663|C703|C743|C813|C875|C913|CD33|CD40|CD43|CD50"),
+    # Nikon Coolpix numeric/compact gaps
+    ("Nikon", "1/2.7", "Coolpix 2000|Coolpix 2100|Coolpix 2200|"
+     "Coolpix 2500|Coolpix 3100|Coolpix 3200|Coolpix 3500|"
+     "Coolpix 3700|Coolpix 4100|Coolpix 4200|Coolpix SQ|"
+     "Coolpix 600|Coolpix 700|Coolpix 100|Coolpix 300|"
+     "Coolpix L1|Coolpix L2|Coolpix L3|Coolpix L4|Coolpix L5|"
+     "Coolpix L6|Coolpix L10|Coolpix L11|Coolpix L12|Coolpix L14"),
+    ("Nikon", "1/1.8", "Coolpix 4300|Coolpix 4500|Coolpix 5000|"
+     "Coolpix 5400|Coolpix 5700|Coolpix 8400|Coolpix 8700|"
+     "Coolpix 8800|Coolpix 950|Coolpix 990|Coolpix 995|"
+     "Coolpix P5000|Coolpix P5100|Coolpix 5200|Coolpix 5900|"
+     "Coolpix 7600|Coolpix 7900|Coolpix P1|Coolpix P2|"
+     "Coolpix P3|Coolpix P4"),
+    # Samsung Digimax-era + CL/AQ/D compacts
+    ("Samsung", "1/2.5", "AQ100|CL5|CL65|CL80|D830|D860|"
+     "Digimax 210 SE|Digimax 220 SE|Digimax 35 MP3|Digimax 410|"
+     "Digimax 50 duo|Digimax 530|Digimax A40|Digimax A50|"
+     "Digimax A503|Digimax A55W|Digimax A6|Digimax A7|"
+     "Digimax D53|Digimax D73|Digimax L50|Digimax L60|"
+     "Digimax L70|Digimax L85|Digimax S500|Digimax S600|"
+     "Digimax S700|Digimax S800|Digimax U-CA 3|Digimax U-CA 4|"
+     "Digimax U-CA 401|Digimax U-CA 5|Digimax U-CA 501|"
+     "Digimax V3|Digimax V4|Digimax V40|Digimax V5|Digimax V50|"
+     "Digimax V6|Digimax V70|Digimax V700|Digimax i5|Digimax i50|"
+     "Digimax i6"),
+    # Sanyo Xacti / VPC compacts
+    ("Sanyo", "1/2.33", "VPC S1275|VPC S1414|VPC X1200|"
+     "VPC X1420|Xacti VPC-S120|Xacti VPC-S122|Xacti VPC-X1200"),
+    ("Sanyo", "1/2.5", "VPC S1070|VPC S670|VPC S750|VPC S760|"
+     "VPC S770|VPC S870|VPC S880|VPC E760|VPC E860|VPC E870|"
+     "VPC E875|VPC E1075|Xacti VPC-S5|Xacti VPC-S6|Xacti VPC-S7|"
+     "Xacti VPC-S60|Xacti VPC-S70|Xacti VPC-E6|Xacti VPC-E7|"
+     "Xacti VPC-C5|Xacti VPC-C6|Xacti VPC-C40|Xacti VPC-CA6|"
+     "Xacti VPC-CA9|Xacti VPC-CG6|Xacti VPC-CG9|Xacti VPC-CG10|"
+     "Xacti VPC-HD1|Xacti VPC-HD2|Xacti VPC-HD700|Xacti VPC-J4|"
+     "Xacti VPC-T700|Xacti VPC-T850|Xacti VPC-W800"),
+    # Rollei compacts
+    ("Rollei", "1/2.5", "Compactline 50|Compactline 52|"
+     "Compactline 55|Compactline 80|Compactline 81|"
+     "Compactline 101|Compactline 102|Compactline 103|"
+     "Compactline 110|Compactline 150|Compactline 202|"
+     "Compactline 203|Compactline 302|Compactline 304|"
+     "Compactline 312|Compactline 350|Compactline 360 TS|"
+     "Compactline 390 SE|Compactline 412|Compactline 415|"
+     "Compactline 425|Flexline 100|Flexline 100 iT|Flexline 140|"
+     "Flexline 200|Flexline 202|Flexline 250|Prego da3|"
+     "Prego da4|Prego da5|Prego da6|Prego dp4200|Prego dp5200|"
+     "Prego dp5300|Prego dp6000|Prego dp6200|Prego dp6300|"
+     "Prego dp8300|dc3100|dcx310|dcx400|dk3000|dk4010|dp300|"
+     "dr5|dr5100|ds6|dsx410|dt6|dt6 Tribute|dt8|da5324|da6324|"
+     "da7325|da8324|da10-4|X-8|X-8 Sport|XS-8|XS-10 inTouch|"
+     "Powerflex 360 Full HD|Powerflex 400|Powerflex 440|"
+     "Powerflex 450|Powerflex 455|Powerflex 460|Powerflex 470|"
+     "Powerflex 500|Powerflex 600|Powerflex 700|Powerflex 800|"
+     "RCP-5324|RCP-6324|RCP-7324|RCP-7325|RCP-7330X|RCP-7430XW|"
+     "RCP-8325|RCP-8325X|RCP-8325XS|RCP-8330X|RCP-8427XW|"
+     "RCP-10628X|RCP-S8|RCP-S10"),
+    # Praktica Luxmedia / DCZ
+    ("Praktica", "1/2.5", "Luxmedia 4008|Luxmedia 5008|"
+     "Luxmedia 5103|Luxmedia 5203|Luxmedia 5303|Luxmedia 6103|"
+     "Luxmedia 6105|Luxmedia 6203|Luxmedia 6403|Luxmedia 6503|"
+     "Luxmedia 7103|Luxmedia 7105|Luxmedia 7203|Luxmedia 7303|"
+     "Luxmedia 7403|Luxmedia 8003|Luxmedia 8203|Luxmedia 8213|"
+     "Luxmedia 8303|Luxmedia 8403|Luxmedia 8503|Luxmedia 10-03|"
+     "Luxmedia 10-23|Luxmedia 10-X3|Luxmedia 10 X3|"
+     "Luxmedia 12-03|Luxmedia 12-23|Luxmedia 12-Z4|"
+     "Luxmedia 12-Z4TS|Luxmedia 12-Z5|Luxmedia 14-Z50S|"
+     "Luxmedia 14-Z51|Luxmedia 14-Z80S|Luxmedia 16-Z12S|"
+     "Luxmedia 16-Z21C|Luxmedia 16-Z21S|Luxmedia 16-Z24S|"
+     "Luxmedia 16-Z51|Luxmedia 18-Z36C|Luxmedia 20-Z35S|"
+     "DCZ 2.2|DCZ 3.0|DCZ 3.2|DCZ 3.3|DCZ 3.4|DCZ 3.5|DCZ 4.1|"
+     "DCZ 4.2|DCZ 4.3|DCZ 4.4|DCZ 5.1|DCZ 5.2|DCZ 5.3|DCZ 5.4|"
+     "DCZ 5.5|DCZ 6.2|DCZ 6.3|DCZ 6.8|DCZ 7.2|DCZ 7.3|DCZ 8.1|"
+     "DCZ 8.2|DCZ 8.3|DC 32|DC 34|DC 42|DC 44|DC 50|DC 52|DC 60|"
+     "DC 440|DC 500|DC 520|DC 530|DC 600|DC 660|DPix 1000|"
+     "DPix 3000|DPix 3200|DPix 3300|DPix 5000 WP|DPix 510Z|"
+     "DPix 530Z|Dpix 1100|Dpix 9000|Exakta DC 4200"),
+    # BenQ DC line
+    ("BenQ", "1/2.5", "DC C35|DC C40|DC C50|DC C51|DC C500|"
+     "DC C510|DC C520|DC C530|DC C540|DC C610|DC C630|DC C640|"
+     "DC C740|DC C740i|DC C750|DC C800|DC C840|DC C850|DC C1000|"
+     "DC C1020|DC C1030 Eco|DC C1035|DC C1050|DC C1060|DC C1230|"
+     "DC C1250|DC C1255|DC C1420|DC C1430|DC C1450|DC C1460|"
+     "DC E30|DC E40|DC E41|DC E43|DC E53|DC E300|DC E310|"
+     "DC E510|DC E520|DC E600|DC E605|DC E610|DC E720|DC E800|"
+     "DC E820|DC E1000|DC E1020|DC E1050|DC E1230|DC E1240|"
+     "DC E1260|DC E1280|DC E1420|DC P500|DC P860|DC S30|DC S40|"
+     "DC S1430|DC X600|DC X710|DC X720|DC X725|DC X735|DC X800|"
+     "DC X835|G1|E1465|LM100|AC100|S1410|T1260"),
+    # Concord Eye-Q
+    ("Concord", "1/2.7", "Eye-Q 1000|Eye-Q 1300|Eye-Q 2000|"
+     "Eye-Q 2040|Eye-Q 3040AF|Eye-Q 3103|Eye-Q 3340z|Eye-Q 3341z|"
+     "Eye-Q 3343z|Eye-Q 4060AF|Eye-Q 4330z|Eye-Q 4342z|"
+     "Eye-Q 4360z|Eye-Q 5062AF|Eye-Q 5330z|Eye-Q 5345z|Eye-Q Duo|"
+     "Eye-Q Go 2000|Eye-Q Go LCD|Eye-Q Go Wireless|3045|4340z|"
+     "5340z|6340z|DV2020"),
+    # Jenoptik JD
+    ("Jenoptik", "1/2.5", "JD 1.3 LCD|JD 1300 D|JD 2.1 FF|"
+     "JD 2.1 xz3|JD 2100 AF|JD 2100 F|JD 2100 M|JD 2100 z3 S|"
+     "JD 2300 z3|JD 3.1 exclusiv|JD 3.1 z3 MPEG 4|JD 3.3 AF|"
+     "JD 3.3 xz3|JD 3.3x4 ie|JD 3300 z3|JD 3300 z3 S|JD 4.0 LCD|"
+     "JD 4.1 xz3|JD 4.1 z3 MPEG 4|JD 4.1 zoom|JD 4100 z3|"
+     "JD 4100 z3 S|JD 4100 zoom|JD 4360 z|JD 5.0 z3 MPEG 4|"
+     "JD 5.2 z3|JD 5.2 zoom|JD 5200 z3|JD 6.0 z3 MPEG 4|"
+     "JD 6.0 z3 exclusiv|JD 8.0 exclusiv|JD 8.0z3|JD 8.0z3 EasyShot|"
+     "JD C 1.3 SD|JD C 2.1 LCD|JD C 3.1 LI|JD C 3.1 SL|JD C 3.1 z3|"
+     "JD C 1300|JD C 2100|JDC 3.1 z3"),
+    # Minox DC / Classic
+    ("Minox", "1/2.5", "DC 1011|DC 1022|DC 1033|DC 1044|DC 1055|"
+     "DC 1211|DC 1222|DC 1233|DC 1311|DC 1422|DC 2111|DC 2122|"
+     "DC 2133|DC 3.1|DC 4.1|DC 4011|DC 4211|DC 5.1|DC 5011|"
+     "DC 5211|DC 6011|DC 6033 WP|DC 6211|DC 6311|DC 7011|"
+     "DC 7411|DC 8011|DC 8111|DC 8122|DC 9011 WP|DC 2.1|DC 3.3|"
+     "DC 5222|DC 5511|DC 1600|DC 2033|Classic Camera 5.0|"
+     "Classic Leica M3 2.1|Classic Leica M3 3MP|Classic Leica M3 4MP|"
+     "DD1|DD1 Diamond|DD100|DD200|DM 1|Mobi DV|Rolleiflex MiniDigi|"
+     "Digital Spy Camera"),
+    # Yakumo Mega Image
+    ("Yakumo", "1/2.5", "Mega Image 34|Mega Image 35|Mega Image 37|"
+     "Mega Image 45|Mega Image 47|Mega Image 47 SL|Mega Image 47sx|"
+     "Mega Image 55cx|Mega Image 57|Mega Image 57x|Mega Image 67x|"
+     "Mega Image 81|Mega Image 84 D|Mega Image 85D|Mega Image 610x|"
+     "Mega Image 611x|Mega Image 811x|Mega Image II|Mega Image III|"
+     "Mega Image IV|Mega Image V|Mega Image VI|Mega Image VII|"
+     "Mega Image XL|CamMaster SD 482"),
+    # Toshiba PDR
+    ("Toshiba", "1/2.7", "PDR M11|PDR M21|PDR M25|PDR M60|PDR M61|"
+     "PDR M65|PDR M70|PDR M71|PDR M81|PDR T10|PDR T20|PDR T30|"
+     "PDR 2300|PDR 3300|PDR 3310|PDR 3320|PDR 4300|PDR 5300|"
+     "PDR M5|PDR M4|PDR M3|Camileo"),
+    # AgfaPhoto / Agfa
+    ("AgfaPhoto", "1/2.5", "DC-533|DC-600uw|DC-630|DC-630i|"
+     "DC-730i|DC-735|DC-735i|DC-738i|DC-830|DC-830i|DC-833m|"
+     "DC-1030i|DC-1033m|DC-1033x|DC-1338i|DC-1338sT|DC-2030m|"
+     "Optima 1|Optima 100|Optima 102|Optima 103|Optima 104|"
+     "Optima 105|Optima 1438m|Optima 3|Optima 830UW|Optima 8328m|"
+     "Sensor 505-D|Sensor 505-X|Sensor 530s|Sensor 830s|"
+     "Selecta 16|ePhoto 1280|ePhoto 1680|ePhoto CL30|ePhoto CL50"),
+    # Vivitar ViviCam
+    ("Vivitar", "1/2.5", "ViviCam 3105s|ViviCam 3305|ViviCam 3315|"
+     "ViviCam 3345|ViviCam 3350b|ViviCam 3555|ViviCam 3615|"
+     "ViviCam 3625|ViviCam 3705|ViviCam 3715|ViviCam 3725|"
+     "ViviCam 3730|ViviCam 3745|ViviCam 3765|ViviCam 3785|"
+     "ViviCam 3805|ViviCam 3815|ViviCam 3825|ViviCam 3915|"
+     "ViviCam 3935|ViviCam 4000|ViviCam 4090|ViviCam 4345|"
+     "ViviCam 4355|ViviCam 4385|ViviCam 5105s|ViviCam 5150s|"
+     "ViviCam 5160s|ViviCam 5195|ViviCam 5299|ViviCam 5350s|"
+     "ViviCam 5385|ViviCam 5386|ViviCam 5388|ViviCam 6150s|"
+     "ViviCam 6200w|ViviCam 6300|ViviCam 6320|ViviCam 6330|"
+     "ViviCam 6380u|ViviCam 6385u|ViviCam 6388s|ViviCam 7310|"
+     "ViviCam 7388s|ViviCam 7500i|ViviCam 8300s|ViviCam 8400|"
+     "ViviCam 8600|ViviCam 8625|ViviCam X30|ViviCam X60"),
+    # Leica compacts + M digitals
+    ("Leica", "1/2.5", "C-Lux 1|C-Lux 2|C-Lux 3|D-Lux|D-Lux 2|"
+     "D-Lux 3|Digilux|Digilux 4.3|Digilux Zoom"),
+    ("Leica", "1/1.7", "D-Lux 4|D-Lux 5|D-Lux 6|Digilux 1"),
+    ("Leica", "1/1.8", "Digilux 2|Digilux 3"),
+    ("Leica", "2/3", "V-Lux 20|V-Lux 30|V-Lux 40"),
+    ("Leica", "1", "V-Lux 1|V-Lux 2|V-Lux 3|V-Lux 4"),
+    ("Leica", "aps-h", "M8|M8.2"),
+    ("Leica", "ff", "M9|M9-P|M Monochrom|M Typ 240|SL Typ 601|Q|"
+     "Q2|M10"),
+    ("Leica", "aps-c", "X1|X2|X Vario|T Typ 701|CL|TL|TL2"),
+    # Ricoh Caplio + GX/GR gaps
+    ("Ricoh", "1/2.5", "Caplio G3|Caplio G4|Caplio G4 wide|"
+     "Caplio GX|Caplio GX8|Caplio R1|Caplio R1V|Caplio R2|"
+     "Caplio R3|Caplio R4|Caplio R5|Caplio R6|Caplio R7|"
+     "Caplio R30|Caplio R40|Caplio RR30|Caplio RR120|"
+     "Caplio RR211|Caplio RR230|Caplio RR330|Caplio RR530|"
+     "Caplio RR630|Caplio RR660|Caplio RR750|Caplio RR770|"
+     "Caplio RX|Caplio RZ1|Caplio 400G wide|Caplio 500G wide|"
+     "Caplio 500SE"),
+    # Konica KD + Q
+    ("Konica", "1/1.8", "KD-310Z|KD-400Z|KD-410Z|KD-500Z|KD-510Z|"
+     "Digital Revio KD-200Z|Digital Revio KD-210Z|"
+     "Digital Revio KD-220Z|Digital Revio KD-25|"
+     "Digital Revio KD-3300Z|Digital Revio KD-4000Z|"
+     "Digital Revio KD-420Z|Digital Revio KD-520Z|Q-M100|Q-M200|"
+     "Revio C2|Revio KD-20M|Revio KD-30M"),
+    # Konica-Minolta DiMAGE gaps
+    ("Konica-Minolta", "1/2.5", "DiMAGE E40|DiMAGE E50|DiMAGE E500|"
+     "DiMAGE X1|DiMAGE X50|DiMAGE X60|DiMAGE Xg|DiMAGE Xt|"
+     "DiMAGE Z10|DiMAGE Z20|DiMAGE Z2|DiMAGE Z3|DiMAGE Z5|"
+     "DiMAGE Z6|DiMAGE G400|DiMAGE G500|DiMAGE G530|DiMAGE G600|"
+     "DiMAGE 2330 Zoom|DiMAGE E201|DiMAGE E203|DiMAGE E223|"
+     "DiMAGE E323|DiMAGE F100|DiMAGE F200|DiMAGE F300"),
+    # Panasonic gaps: FP/FS/D-snap
+    ("Panasonic", "1/2.33", "DMC-FP1|DMC-FP2|DMC-FP3|DMC-FP5|"
+     "DMC-FP7|DMC-FP8|DMC-FS18|DMC-FS2|DMC-FS22|DMC-FS30|"
+     "DMC-FS33|DMC-FS37|DMC-FS40|DMC-FS45|DMC-FS16|DMC-FS11|"
+     "DMC-LZ20|DMC-LZ30|DMC-LZ40"),
+    ("Panasonic", "1/3.2", "D-snap SV-AS10|D-snap SV-AS3|"
+     "D-snap SV-AS30|SV-AV30|SV-AV50"),
+    # Casio gaps
+    ("Casio", "1/2.3", "EX-FR10|EX-TR10|EX-TR15|EXILIM EX-FC160s|"
+     "EXILIM EX-FH150|EXILIM EX-FS10|EXILIM EX-G1|EXILIM EX-JE10|"
+     "EXILIM EX-S200|EXILIM EX-TR100|EXILIM EX-TR150|"
+     "EXILIM EX-Z16|EXILIM EX-ZR10|EXILIM EX-ZR100|"
+     "EXILIM EX-ZR15|EXILIM EX-ZR20|EXILIM EX-ZR200|"
+     "EXILIM EX-ZR300|EXILIM EX-ZR400|EXILIM EX-ZR700|"
+     "EXILIM EX-ZR800|EXILIM EX-ZR1000|EXILIM EX-ZS5|"
+     "EXILIM EX-ZS10|EXILIM EX-ZS12|EXILIM EX-ZS15|"
+     "EXILIM EX-ZS20|EXILIM EX-ZS30"),
+    ("Casio", "1/1.7", "EXILIM EX-S600D|EXILIM EX-S770D|"
+     "EXILIM EX-Z850|EXILIM EX-Z1000|EXILIM EX-Z1050|"
+     "EXILIM EX-Z1080|EXILIM EX-Z1200|EXILIM EX-F1|"
+     "EXILIM EX-10|EXILIM EX-100|EXILIM EX-ZR3000"),
+    # HP Photosmart gaps
+    ("HP", "1/2.5", "Photosmart E327|Photosmart E337|"
+     "Photosmart E427|Photosmart M22|Photosmart M23|"
+     "Photosmart M307|Photosmart M407|Photosmart M417|"
+     "Photosmart M425|Photosmart M437|Photosmart M447|"
+     "Photosmart M517|Photosmart M525|Photosmart M527|"
+     "Photosmart M537|Photosmart M547|Photosmart M627|"
+     "Photosmart M637|Photosmart M737|Photosmart R507|"
+     "Photosmart R607|Photosmart R707|Photosmart R717|"
+     "Photosmart R725|Photosmart R727|Photosmart R742|"
+     "Photosmart R817|Photosmart R818|Photosmart R827|"
+     "Photosmart R837|Photosmart R847|Photosmart R927|"
+     "Photosmart R937|Photosmart R967|Photosmart owlv2"),
 ]
+
+
+def _aliases(make, model):
+    """Alternative EXIF model spellings cameras of each brand emit.
+
+    Manufacturers are inconsistent about marketing-name prefixes and
+    dash/space in the EXIF Model tag (e.g. a Sony compact may report
+    'DSC-W55' or 'Cybershot DSC W55'); the DB needs every spelling the
+    wild emits (role parity with exif_reader.cc's exact-string lookup).
+    Derived mechanically from our own canonical entries.
+    """
+    out = []
+    if make == "Sony" and model.startswith("DSC-"):
+        tail = model[4:]
+        out += [f"Cybershot DSC {tail}", f"Cybershot DSC-{tail}",
+                f"Cyber-shot DSC-{tail}"]
+    if make == "Panasonic" and model.startswith("DMC-"):
+        out += [f"Lumix {model}", f"Lumix {model.replace('-', ' ', 1)}"]
+    if make == "Olympus" and model.startswith("u"):
+        tail = model[1:]
+        out += [f"mju {tail}", f"Stylus {tail}"]
+    if make == "Fujifilm" and model.startswith("FinePix"):
+        out += [f"{model} Zoom"]
+    if make == "Casio" and model.startswith("EX-"):
+        out += [f"EXILIM {model}"]
+    if make == "Samsung" and model.startswith("Digimax "):
+        out += [model[8:]]
+    if make == "Konica-Minolta" and model.startswith("DiMAGE "):
+        out += [f"DiMAGE{model[7:]}"]
+    if make == "Kodak" and model.startswith("EasyShare "):
+        out += [model[10:]]
+    if make == "Pentax" and model.startswith("Optio "):
+        out += [f"Optio{model[6:]}"]
+    return out
 
 
 def expand():
     rows = []
     seen = set()
+
+    def add(make, model, width):
+        model = " ".join(model.split())
+        if not model:
+            return
+        # model field embeds the make unless it already starts
+        # with it (Canon EXIF model strings do)
+        full = (model if model.lower().startswith(make.lower())
+                else f"{make} {model}")
+        key = full.lower()
+        if key in seen:
+            return
+        seen.add(key)
+        rows.append(f"{make};{full};{width:g}")
+
     for make, fmt, models in ENTRIES:
         width = F[fmt] if isinstance(fmt, str) else float(fmt)
         for model in models.split("|"):
             model = " ".join(model.split())
             if not model:
                 continue
-            # model field embeds the make unless it already starts
-            # with it (Canon EXIF model strings do)
-            full = (model if model.lower().startswith(make.lower())
-                    else f"{make} {model}")
-            key = full.lower()
-            if key in seen:
-                continue
-            seen.add(key)
-            rows.append(f"{make};{full};{width:g}")
+            add(make, model, width)
+            for alias in _aliases(make, model):
+                add(make, alias, width)
     return rows
 
 
