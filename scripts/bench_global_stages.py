@@ -27,6 +27,7 @@ def build_view_graph(n_views, seed=0, outlier_frac=0.05,
                      noise_deg=0.3, edges_per_view=10):
     """Loop-scene graph: edges (E,2), rel rot (E,3) aa, rel dir (E,3),
     weights (E,), gt extrinsics (V,6)."""
+    import jax
     import jax.numpy as jnp
 
     from theiasfm_tpu.math import rotation as rot
@@ -47,34 +48,39 @@ def build_view_graph(n_views, seed=0, outlier_frac=0.05,
     R_all = np.asarray(rot.angle_axis_to_rotation_matrix(
         jnp.asarray(extrs[:, 3:])))
 
-    edges, rel_rot, rel_dir, weights = [], [], [], []
-    for v1 in range(n_views):
-        for dv in range(1, edges_per_view + 1):
-            v2 = (v1 + dv) % n_views
-            if v2 <= v1:
-                continue
-            R_rel = R_all[v2] @ R_all[v1].T
-            aa = np.asarray(rot.rotation_matrix_to_angle_axis(
-                jnp.asarray(R_rel)))
-            d = R_all[v1] @ (extrs[v2, :3] - extrs[v1, :3])
-            d /= np.linalg.norm(d)
-            if rng.uniform() < outlier_frac:
-                aa = rng.normal(size=3)
-                d = rng.normal(size=3)
-                d /= np.linalg.norm(d)
-            else:
-                naa = rng.normal(size=3)
-                naa *= np.radians(noise_deg) / np.linalg.norm(naa)
-                aa = np.asarray(rot.multiply_rotations(
-                    jnp.asarray(naa), jnp.asarray(aa)))
-                d = d + rng.normal(scale=0.01, size=3)
-                d /= np.linalg.norm(d)
-            edges.append((v1, v2))
-            rel_rot.append(aa)
-            rel_dir.append(d)
-            weights.append(100.0)
-    return (np.asarray(edges), np.asarray(rel_rot),
-            np.asarray(rel_dir), np.asarray(weights), extrs)
+    # build all edges, then apply noise/outliers in BATCHED device
+    # calls (a per-edge host loop costs thousands of tunnel round
+    # trips on this runner)
+    edges = [(v1, (v1 + dv) % n_views)
+             for v1 in range(n_views)
+             for dv in range(1, edges_per_view + 1)
+             if (v1 + dv) % n_views > v1]
+    edges = np.asarray(edges)
+    E = len(edges)
+    R_rel = np.einsum("eij,ekj->eik", R_all[edges[:, 1]],
+                      R_all[edges[:, 0]])
+    aa = np.asarray(jax.vmap(rot.rotation_matrix_to_angle_axis)(
+        jnp.asarray(R_rel)))
+    d = np.einsum("eij,ej->ei", R_all[edges[:, 0]],
+                  extrs[edges[:, 1], :3] - extrs[edges[:, 0], :3])
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    naa = rng.normal(size=(E, 3))
+    naa *= np.radians(noise_deg) / np.linalg.norm(naa, axis=-1,
+                                                  keepdims=True)
+    aa_noisy = np.asarray(jax.vmap(rot.multiply_rotations)(
+        jnp.asarray(naa), jnp.asarray(aa)))
+    d_noisy = d + rng.normal(scale=0.01, size=(E, 3))
+    d_noisy /= np.linalg.norm(d_noisy, axis=-1, keepdims=True)
+
+    out = rng.uniform(size=E) < outlier_frac
+    aa_out = rng.normal(size=(E, 3))
+    d_out = rng.normal(size=(E, 3))
+    d_out /= np.linalg.norm(d_out, axis=-1, keepdims=True)
+    rel_rot = np.where(out[:, None], aa_out, aa_noisy)
+    rel_dir = np.where(out[:, None], d_out, d_noisy)
+    weights = np.full(E, 100.0)
+    return edges, rel_rot, rel_dir, weights, extrs
 
 
 def main():

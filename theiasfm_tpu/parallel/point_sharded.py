@@ -40,13 +40,20 @@ from ..utils import next_bucket
 __all__ = ["partition_problem_by_point", "point_sharded_bundle_adjust"]
 
 
-def partition_problem_by_point(prob: BAProblem, n_dev: int):
+def partition_problem_by_point(prob: BAProblem, n_dev: int,
+                               pallas_block: int = 0):
     """Split a (point-sorted, valid-only) BAProblem into n_dev shards.
 
     Returns (shards dict of stacked arrays with leading D*{M_loc,
     Np_loc}, meta) where meta carries the per-shard point ranges for
     reassembly. Padding observations are masked; padding points carry
     point_mask=False.
+
+    pallas_block > 0 additionally attaches per-shard fused-matvec plan
+    arrays (pmv_*, see pallas_matvec.MatvecPlan) with a uniform point
+    window across shards, so each device can run the Pallas
+    Schur-matvec kernels on its local observation slice under
+    shard_map (BAOptions.pallas_matvec + axis_name).
     """
     obs_pt = np.asarray(prob.obs_pt)
     M = obs_pt.shape[0]
@@ -66,6 +73,8 @@ def partition_problem_by_point(prob: BAProblem, n_dev: int):
 
     M_loc = next_bucket(int(np.max(np.diff(obs_start))), 64)
     Np_loc = next_bucket(int(np.max(np.diff(pt_start))), 16)
+    if pallas_block:
+        M_loc = next_bucket(M_loc, pallas_block)
 
     D = n_dev
     dtype = np.asarray(prob.points).dtype
@@ -102,6 +111,25 @@ def partition_problem_by_point(prob: BAProblem, n_dev: int):
         points=points.reshape(D * Np_loc, 3),
         point_mask=point_mask.reshape(-1),
     )
+    if pallas_block:
+        from ..sfm.ba.pallas_matvec import MatvecPlan
+        Nc = prob.extrinsics.shape[0]
+        # two-pass: per-shard natural windows first, then rebuild with
+        # the max so every device's kernel shapes agree under shard_map
+        plans = [MatvecPlan(obs_cam[d], obs_pt_loc[d], Nc, Np_loc,
+                            block=pallas_block) for d in range(D)]
+        W = max(p.W for p in plans)
+        plans = [MatvecPlan(obs_cam[d], obs_pt_loc[d], Nc, Np_loc,
+                            block=pallas_block, force_window=W)
+                 for d in range(D)]
+        G = plans[0].G
+        shards["pmv_cam_tiles"] = np.concatenate(
+            [p.cam_tiles for p in plans]).astype(np.int32)
+        shards["pmv_lpt_tiles"] = np.concatenate(
+            [p.local_pt for p in plans]).astype(np.int32)
+        shards["pmv_p0"] = np.concatenate(
+            [p.tile_p0 for p in plans]).astype(np.int32)
+        shards["pmv_window"] = np.zeros((W,), np.int8)
     meta = dict(pt_start=pt_start, Np_loc=Np_loc, n_dev=D)
     return shards, meta
 
@@ -124,7 +152,10 @@ def point_sharded_bundle_adjust(
     [SURVEY.md §6] viable across hosts).
     """
     n_dev = mesh.devices.size
-    shards, meta = partition_problem_by_point(prob, n_dev)
+    use_pallas = (opts.pallas_matvec and
+                  prob.intrinsics.shape[0] == 1)
+    shards, meta = partition_problem_by_point(
+        prob, n_dev, pallas_block=1024 if use_pallas else 0)
     run_opts = dataclasses.replace(opts, axis_name=axis_name,
                                    point_indices_sorted=True)
 
@@ -132,28 +163,45 @@ def point_sharded_bundle_adjust(
                 else jnp.ones(prob.extrinsics.shape[0], bool))
 
     def local_ba(extr, intr, cmask, obs_cam, obs_group, obs_pt, obs_pix,
-                 obs_mask, points, point_mask):
+                 obs_mask, points, point_mask, *pmv):
         local = BAProblem(
             extrinsics=extr, intrinsics=intr, points=points,
             obs_cam=obs_cam, obs_group=obs_group, obs_pt=obs_pt,
             obs_pix=obs_pix, obs_mask=obs_mask,
             cam_mask=cmask, point_mask=point_mask)
+        if pmv:
+            # per-shard fused-matvec plan: each device runs the Pallas
+            # Schur-matvec on its local observation slice; camera-side
+            # outputs psum over the mesh (bundle_adjustment.py)
+            local = local._replace(
+                pmv_cam_tiles=pmv[0], pmv_lpt_tiles=pmv[1],
+                pmv_p0=pmv[2], pmv_window=pmv[3])
         out, summary = bundle_adjust(local, run_opts)
         return out.extrinsics, out.intrinsics, out.points, summary
 
     rep = P()
     sh = P(axis_name)
+    in_specs = [rep, rep, rep, sh, sh, sh, sh, sh, sh, sh]
+    args = [prob.extrinsics, prob.intrinsics, cam_mask,
+            jnp.asarray(shards["obs_cam"]),
+            jnp.asarray(shards["obs_group"]),
+            jnp.asarray(shards["obs_pt"]),
+            jnp.asarray(shards["obs_pix"]),
+            jnp.asarray(shards["obs_mask"]),
+            jnp.asarray(shards["points"]),
+            jnp.asarray(shards["point_mask"])]
+    if use_pallas and "pmv_cam_tiles" in shards:
+        in_specs += [sh, sh, sh, rep]
+        args += [jnp.asarray(shards["pmv_cam_tiles"]),
+                 jnp.asarray(shards["pmv_lpt_tiles"]),
+                 jnp.asarray(shards["pmv_p0"]),
+                 jnp.asarray(shards["pmv_window"])]
     f = jax.jit(jax.shard_map(
         local_ba, mesh=mesh,
-        in_specs=(rep, rep, rep, sh, sh, sh, sh, sh, sh, sh),
+        in_specs=tuple(in_specs),
         out_specs=(rep, rep, sh, rep),
         check_vma=False))
-    extr, intr, points_out, summary = f(
-        prob.extrinsics, prob.intrinsics, cam_mask,
-        jnp.asarray(shards["obs_cam"]), jnp.asarray(shards["obs_group"]),
-        jnp.asarray(shards["obs_pt"]), jnp.asarray(shards["obs_pix"]),
-        jnp.asarray(shards["obs_mask"]), jnp.asarray(shards["points"]),
-        jnp.asarray(shards["point_mask"]))
+    extr, intr, points_out, summary = f(*args)
 
     # reassemble the global point array from the per-shard ranges
     pt_start, Np_loc, D = (meta["pt_start"], meta["Np_loc"],

@@ -547,12 +547,16 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
 
     # Fused-kernel eligibility (see pallas_matvec.py): shared across
     # make_blocks and the CG matvec. The round-3 1M-observation cap is
-    # gone: ids now stream per tile instead of living whole in VMEM.
+    # gone (ids stream per tile instead of living whole in VMEM), and
+    # the matvec kernels now compose with shard_map: under a mesh axis
+    # each device runs them on its local observation shard and the
+    # camera-side outputs are psum'ed (point blocks are device-local
+    # in the point-sharded layout, so wp/zp need no collective).
     _pallas_ok = (opts.pallas_matvec and Ng == 1 and
-                  opts.axis_name is None and
                   prob.pmv_p0 is not None and
                   dtype == jnp.float32)
-    _pallas_blocks_ok = _pallas_ok and opts.pallas_blocks
+    _pallas_blocks_ok = (_pallas_ok and opts.pallas_blocks and
+                         opts.axis_name is None)
     if _pallas_blocks_ok:
         from .pallas_matvec import FusedBlocks, PlanShapes
         _G, _B = prob.pmv_cam_tiles.shape
@@ -731,9 +735,13 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
                                    jnp.float32).at[:Np, :3].set(zp)
                 yc_p, yg_p = fm.pass2(jc_cp, ji_cp, jp_cp, u_c,
                                       zp_pad)
-                yc = yc_p[:Nc, :6]
+                # under shard_map (point-sharded mesh) the kernels
+                # reduce over LOCAL observations only; the camera and
+                # shared-intrinsics reductions complete over the mesh
+                # exactly like the XLA path's seg_cam/seg_grp psums
+                yc = _psum(yc_p[:Nc, :6])
                 g2 = yg_p[:2 * P, :2].reshape(2, P, 2)
-                yg = (g2[0, :, 0] + g2[1, :, 1])[None]
+                yg = _psum((g2[0, :, 0] + g2[1, :, 1])[None])
                 return yc + diag_c * vc, yg + diag_g * vg
 
         # --- matrix-free S @ v on FLAT per-obs arrays. The two

@@ -70,7 +70,8 @@ def pack_compact(x, dtype=None):
 class MatvecPlan:
     """Host-side static per-problem data for the fused matvec."""
 
-    def __init__(self, obs_cam, obs_pt, n_cams, n_pts, block=512):
+    def __init__(self, obs_cam, obs_pt, n_cams, n_pts, block=512,
+                 force_window=None):
         obs_cam = np.asarray(obs_cam)
         obs_pt = np.asarray(obs_pt)
         M = obs_cam.shape[0]
@@ -84,10 +85,15 @@ class MatvecPlan:
         # any tile (sorted obs; typical span is B / mean-track-length,
         # far below the worst-case B) — window DMA volume scales with
         # W, so this matters. p0 is 8-aligned for the DMA sublane
-        # offset; +8 covers the alignment shift.
+        # offset; +8 covers the alignment shift. force_window lets
+        # multi-shard callers (parallel/point_sharded.py) impose one
+        # uniform W across shards so the kernel shapes agree.
         p0 = (obs_pt[:: block].astype(np.int32) // 8) * 8
         rel_raw = obs_pt.reshape(self.G, block) - p0[:, None]
         self.W = int(_round_up(int(rel_raw.max()) + 1, 8))
+        if force_window is not None:
+            assert force_window >= self.W, (force_window, self.W)
+            self.W = int(force_window)
         self.Np_pad = _round_up(n_pts + self.W, 8)
         self.tile_p0 = np.minimum(p0, self.Np_pad - self.W)
         self.cam_pad = _round_up(n_cams, 8)
