@@ -542,8 +542,16 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         Jc, Ji, Jp = _apply_masks(prob, opts, Jc, Ji, Jp)
         Ji = _compress_ji(Ji)
         M_ = r.shape[0]
-        return (r, Jc.reshape(M_, 12), Ji.reshape(M_, 2 * P),
-                Jp.reshape(M_, 6))
+        # ONE packed (M, 20+2P) output instead of four separate
+        # (M, F<128) arrays: every (M, F) f32 array is physically
+        # (M, 128) in HBM (lane padding), so four outputs cost four
+        # full (M, 128) write passes while the packed buffer costs
+        # one — the jacobian pass is the solver's dominant fixed cost
+        # (ROADMAP round-3: 38.5 ms/iter at 550 cams). Consumers
+        # slice columns lazily.
+        return jnp.concatenate(
+            [r, Jc.reshape(M_, 12), Ji.reshape(M_, 2 * P),
+             Jp.reshape(M_, 6)], axis=1)
 
     # Fused-kernel eligibility (see pallas_matvec.py): shared across
     # make_blocks and the CG matvec. The round-3 1M-observation cap is
@@ -986,9 +994,13 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
                 prev_accepted,
                 lambda: build_system(extr, intr, pts, r_cur),
                 lambda: J_state)
-            r, Jc, Ji, Jp = J_state
+            packed = J_state
         else:
-            r, Jc, Ji, Jp = build_system(extr, intr, pts, r_cur)
+            packed = build_system(extr, intr, pts, r_cur)
+        r = packed[:, 0:2]
+        Jc = packed[:, 2:14]
+        Ji = packed[:, 14:14 + 2 * P]
+        Jp = packed[:, 14 + 2 * P:20 + 2 * P]
         if reuse_blocks:
             B_state = jax.lax.cond(
                 prev_accepted,
@@ -1026,12 +1038,9 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
 
     M_obs_ = prob.obs_cam.shape[0]
     if use_jac_reuse:
-        J_state0 = (jnp.zeros((M_obs_, 2), dtype),
-                    jnp.zeros((M_obs_, 12), dtype),
-                    jnp.zeros((M_obs_, 2 * P), dtype),
-                    jnp.zeros((M_obs_, 6), dtype))
+        J_state0 = jnp.zeros((M_obs_, 20 + 2 * P), dtype)
     else:
-        J_state0 = (jnp.zeros((0,), dtype),) * 4
+        J_state0 = jnp.zeros((0,), dtype)
     if reuse_blocks:
         B_state0 = (jnp.zeros((Np, 9), dtype),
                     jnp.zeros((Nc, 6, 6), dtype),
