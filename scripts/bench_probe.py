@@ -84,6 +84,9 @@ def main():
                 elif suf == "_pblocks":
                     extra["pallas_matvec"] = True
                     extra["pallas_blocks"] = True
+    best_of_pallas_xla = solver == "pcg_fast_best"
+    if best_of_pallas_xla:
+        solver = "pcg_fast"
     if solver == "pcg_fast":
         # inexact-step configuration: bf16 matvec + Ceres-style
         # constant eta forcing
@@ -99,7 +102,7 @@ def main():
         solver = "dense_schur"
     if use_tables:
         prob = add_cam_pair_tables(prob)
-    if extra.get("pallas_matvec"):
+    if extra.get("pallas_matvec") or best_of_pallas_xla:
         from theiasfm_tpu.sfm.ba.bundle_adjustment import (
             add_pallas_matvec_plan, pad_obs_to_multiple)
         blk = 1024 if not extra.get("pallas_blocks") else 512
@@ -143,11 +146,26 @@ def main():
             return (min(ts), int(s.num_iterations),
                     float(s.final_cost))
 
-        t_cfg, it_cfg, c_cfg = time_to_target(opts)
+        cfg_used = solver
+        if best_of_pallas_xla:
+            # production picks the faster kernel path per scale: time
+            # both the fused-Pallas and pure-XLA matvec configs to the
+            # same target, report the winner (honestly labeled)
+            t_p, it_p, c_p = time_to_target(
+                dataclasses.replace(opts, pallas_matvec=True))
+            t_x, it_x, c_x = time_to_target(opts)
+            if c_p <= target and (c_x > target or t_p <= t_x):
+                t_cfg, it_cfg, c_cfg = t_p, it_p, c_p
+                cfg_used = "pcg_fast_pallas"
+            else:
+                t_cfg, it_cfg, c_cfg = t_x, it_x, c_x
+                cfg_used = "pcg_fast_xla"
+        else:
+            t_cfg, it_cfg, c_cfg = time_to_target(opts)
         t_exact, it_exact, c_exact = time_to_target(exact)
         print(json.dumps({
             "ok": True, "mode": "matched", "n_cams": n_cams,
-            "n_pts": n_pts, "solver": solver,
+            "n_pts": n_pts, "solver": cfg_used,
             "c_star": c_star, "target": target,
             "matched_cost_s": round(t_cfg, 3),
             "matched_iters": it_cfg,

@@ -543,12 +543,13 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         Ji = _compress_ji(Ji)
         M_ = r.shape[0]
         # ONE packed (M, 20+2P) output instead of four separate
-        # (M, F<128) arrays: every (M, F) f32 array is physically
-        # (M, 128) in HBM (lane padding), so four outputs cost four
-        # full (M, 128) write passes while the packed buffer costs
-        # one — the jacobian pass is the solver's dominant fixed cost
-        # (ROADMAP round-3: 38.5 ms/iter at 550 cams). Consumers
-        # slice columns lazily.
+        # (M, F<128) arrays. Rationale: each (M, F) f32 array is
+        # physically (M, 128) in HBM (lane padding), so four outputs
+        # could cost four full write passes. Measured on-chip
+        # (round 4, 550 cams): throughput UNCHANGED (8.78/9.40
+        # pallas/XLA iters/s either way) — XLA already coalesced the
+        # four outputs — but the packed form is kept for the single
+        # jacobian-reuse carry and simpler plumbing.
         return jnp.concatenate(
             [r, Jc.reshape(M_, 12), Ji.reshape(M_, 2 * P),
              Jp.reshape(M_, 6)], axis=1)
