@@ -1,12 +1,14 @@
 """End-to-end global pipeline test (synthetic) — the global analog of
 the incremental E2E gate (ref hybrid/incremental estimator tests)."""
 import numpy as np
+import pytest
 
 from tests.test_incremental_pipeline import build_synthetic_scene
 from theiasfm_tpu.sfm.pipeline import GlobalOptions, global_reconstruction
 from theiasfm_tpu.sfm.transformation import align_point_clouds
 
 
+@pytest.mark.slow
 def test_global_end_to_end(rng):
     recon, graph, gt_extrs = build_synthetic_scene(rng, n_views=8)
     opts = GlobalOptions()

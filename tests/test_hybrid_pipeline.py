@@ -1,12 +1,14 @@
 """Hybrid pipeline E2E (ref hybrid_reconstruction_estimator_test.cc
 pattern, on the synthetic scene)."""
 import numpy as np
+import pytest
 
 from tests.test_incremental_pipeline import build_synthetic_scene
 from theiasfm_tpu.sfm.pipeline import HybridOptions, hybrid_reconstruction
 from theiasfm_tpu.sfm.transformation import align_point_clouds
 
 
+@pytest.mark.slow
 def test_hybrid_end_to_end(rng):
     recon, graph, gt_extrs = build_synthetic_scene(rng, n_views=8)
     summary = hybrid_reconstruction(recon, graph, HybridOptions())

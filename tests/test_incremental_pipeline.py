@@ -5,6 +5,7 @@ position error)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from theiasfm_tpu.math import rotation as rot
 from theiasfm_tpu.camera import models as cm
@@ -96,6 +97,7 @@ def build_synthetic_scene(rng, n_views=8, n_pts=150, noise=0.3,
     return recon, graph, extrs
 
 
+@pytest.mark.slow
 def test_incremental_end_to_end(rng):
     recon, graph, gt_extrs = build_synthetic_scene(rng)
     opts = IncrementalOptions()

@@ -146,7 +146,8 @@ class FeatureMatcher:
         idx2 = np.asarray(idx2)
         valid = np.asarray(valid)
 
-        n_verified = 0
+        # collect putative matches per pair
+        putative = []   # (pair_idx, a, b, corr (Mi, 4))
         for i, (a, b) in enumerate(chunk):
             sel = np.nonzero(valid[i])[0]
             if len(sel) < self.options.min_num_feature_matches:
@@ -154,20 +155,40 @@ class FeatureMatcher:
             kp1 = feats[a].keypoints[sel]
             kp2 = feats[b].keypoints[idx2[i][sel]]
             corr = np.concatenate([kp1[:, :2], kp2[:, :2]], axis=-1)
-            if self.options.perform_geometric_verification:
-                from ..sfm.pipeline.geometric_verification import (
-                    GeometricVerificationOptions, verify_matches)
+            putative.append((i, a, b, corr))
+        if not putative:
+            return 0
+
+        n_verified = 0
+        if not self.options.perform_geometric_verification:
+            from ..sfm.view_graph import TwoViewInfo
+            for i, a, b, corr in putative:
+                info = TwoViewInfo(num_verified_matches=len(corr))
+                self.db.put_match(a, b, ImagePairMatch(
+                    image1=a, image2=b, twoview_info=info,
+                    correspondences=corr))
+                n_verified += 1
+            return n_verified
+
+        gv_base = dict(
+            estimate_twoview_info=self.options.geometric_verification,
+            min_num_inlier_matches=self.options
+            .min_num_feature_matches)
+        from ..sfm.pipeline.geometric_verification import (
+            GeometricVerificationOptions, verify_matches,
+            verify_matches_batch)
+
+        if self.options.guided_matching:
+            # guided matching grows the match set per pair from ALL
+            # features — stays on the single-pair path
+            for i, a, b, corr in putative:
                 prior1 = self.db.get_intrinsics_prior(a)
                 prior2 = self.db.get_intrinsics_prior(b)
                 f1, pp1 = _focal_pp(prior1)
                 f2, pp2 = _focal_pp(prior2)
                 key, k = jax.random.split(key)
                 gv = GeometricVerificationOptions(
-                    estimate_twoview_info=self.options
-                    .geometric_verification,
-                    guided_matching=self.options.guided_matching,
-                    min_num_inlier_matches=self.options
-                    .min_num_feature_matches)
+                    guided_matching=True, **gv_base)
                 info, corr_v = verify_matches(
                     k, corr[:, :2], corr[:, 2:], f1, f2, pp1, pp2, gv,
                     kp1_all=kp1p[i], kp2_all=kp2p[i],
@@ -177,13 +198,48 @@ class FeatureMatcher:
                     image_size2=_image_size(prior2))
                 if info is None:
                     continue
-                corr = corr_v
-            else:
-                from ..sfm.view_graph import TwoViewInfo
-                info = TwoViewInfo(num_verified_matches=len(corr))
-            m = ImagePairMatch(image1=a, image2=b, twoview_info=info,
-                               correspondences=corr)
-            self.db.put_match(a, b, m)
+                self.db.put_match(a, b, ImagePairMatch(
+                    image1=a, image2=b, twoview_info=info,
+                    correspondences=corr_v))
+                n_verified += 1
+            return n_verified
+
+        # ONE batched dispatch verifies every pair in the chunk
+        # (5-pt RANSAC + homography count + 2-view BA + triangulation
+        # gates; the per-pair host loop paid ~7 dispatches per pair)
+        Pn = len(putative)
+        maxm = next_bucket(max(len(c) for _, _, _, c in putative), 64)
+        pix1 = np.zeros((Pn, maxm, 2))
+        pix2 = np.zeros((Pn, maxm, 2))
+        pmask = np.zeros((Pn, maxm), bool)
+        f1s = np.zeros(Pn)
+        f2s = np.zeros(Pn)
+        pp1s = np.zeros((Pn, 2))
+        pp2s = np.zeros((Pn, 2))
+        sizes = np.zeros((Pn, 2, 2))
+        for j, (i, a, b, corr) in enumerate(putative):
+            n = len(corr)
+            pix1[j, :n] = corr[:, :2]
+            pix2[j, :n] = corr[:, 2:]
+            pmask[j, :n] = True
+            prior1 = self.db.get_intrinsics_prior(a)
+            prior2 = self.db.get_intrinsics_prior(b)
+            f1s[j], pp1s[j] = _focal_pp(prior1)
+            f2s[j], pp2s[j] = _focal_pp(prior2)
+            sizes[j, 0] = _image_size(prior1) or (0, 0)
+            sizes[j, 1] = _image_size(prior2) or (0, 0)
+        key, k = jax.random.split(key)
+        from ..utils import count_dispatch
+        count_dispatch("verify_pairs_batch")
+        gv = GeometricVerificationOptions(**gv_base)
+        infos, corrs = verify_matches_batch(
+            k, pix1, pix2, pmask, f1s, f2s, pp1s, pp2s, sizes, gv)
+        for j, (i, a, b, _) in enumerate(putative):
+            if infos[j] is None:
+                continue
+            self.db.put_match(a, b, ImagePairMatch(
+                image1=a, image2=b, twoview_info=infos[j],
+                correspondences=corrs[j]))
             n_verified += 1
         return n_verified
 

@@ -67,6 +67,143 @@ def count_homography_inliers(key, pix1, pix2,
     return int(out["num_inliers"])
 
 
+import dataclasses as _dc
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_verify_batch(num_hypotheses: int):
+    """The WHOLE per-pair verification pipeline (5-pt RANSAC +
+    homography count + 2-view BA + triangulation filter) vmapped over
+    a padded batch of pairs — ONE device dispatch where the host loop
+    paid ~7 per pair (the round-3 e2e wall time was dispatch-bound)."""
+    from ...solvers import RansacOptions, ransac
+    from ..ba.two_view import bundle_adjust_two_views_angular
+    from ..estimators.twoview_estimators import _singleton_spec
+    from .. import triangulation as tri
+
+    spec = _singleton_spec("relative_pose")
+    hspec = _singleton_spec("homography")
+    ropts = RansacOptions(error_thresh=1.0,
+                          num_hypotheses=num_hypotheses)
+
+    @jax.jit
+    def run(keys, x1, x2, pix1, pix2, mask, thresh, h_thresh, f1, f2,
+            final_px):
+        def one(k, a, b, pa, pb, m, th, hth, fo1, fo2):
+            k1, k2 = jax.random.split(k)
+            sspec = _dc.replace(
+                spec, residuals=lambda E, d: spec.residuals(E, d) / th)
+            E, summary = ransac(k1, sspec, {"x1": a, "x2": b}, ropts,
+                                data_mask=m)
+            from ..pose.twoview_utils import relative_pose_from_essential
+            R, t, _ = relative_pose_from_essential(
+                E, a, b, mask=summary.inliers)
+            # homography inliers over the putative matches (pixel
+            # space, resolution-scaled threshold — ref
+            # CountHomographyInliers)
+            hs = _dc.replace(
+                hspec,
+                residuals=lambda H, d: hspec.residuals(H, d) / hth)
+            _, hsum = ransac(k2, hs, {"x1": pa, "x2": pb}, ropts,
+                             data_mask=m)
+            # 2-view BA on the epipolar inliers
+            w = (summary.inliers & m).astype(a.dtype)
+            aa = rot.rotation_matrix_to_angle_axis(R)
+            aa2, t2 = bundle_adjust_two_views_angular(aa, t, a, b, w)
+            R2 = rot.angle_axis_to_rotation_matrix(aa2)
+            # triangulate + cheirality + reprojection gate
+            P1 = jnp.concatenate(
+                [jnp.eye(3, dtype=a.dtype),
+                 jnp.zeros((3, 1), a.dtype)], 1)
+            P2 = jnp.concatenate([R2, t2[:, None]], 1)
+            X = tri.triangulate_dlt(P1, P2, a, b)
+            w4 = X[:, 3:]
+            w4 = jnp.where(jnp.abs(w4) < 1e-12, 1e-12, w4)
+            Xc1 = X[:, :3] / w4
+            Xc2 = Xc1 @ R2.T + t2
+            ok = (Xc1[:, 2] > 1e-6) & (Xc2[:, 2] > 1e-6)
+            r1 = jnp.linalg.norm(
+                Xc1[:, :2] / jnp.maximum(Xc1[:, 2:], 1e-9) - a,
+                axis=1) * fo1
+            r2 = jnp.linalg.norm(
+                Xc2[:, :2] / jnp.maximum(Xc2[:, 2:], 1e-9) - b,
+                axis=1) * fo2
+            keep = (m & summary.inliers & ok & (r1 < final_px) &
+                    (r2 < final_px))
+            return (aa2, t2, keep, jnp.sum(keep), hsum.num_inliers,
+                    summary.num_inliers)
+
+        return jax.vmap(
+            one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0))(
+            keys, x1, x2, pix1, pix2, mask, thresh, h_thresh, f1, f2)
+
+    return run
+
+
+def verify_matches_batch(key, pix1, pix2, mask, focal1, focal2,
+                         pp1, pp2, image_sizes,
+                         opts: GeometricVerificationOptions = None):
+    """Batched verify_matches over P pairs in ONE device dispatch.
+
+    pix1/pix2 (P, N, 2) padded putative pixel matches; mask (P, N);
+    focal1/2 (P,); pp1/pp2 (P, 2); image_sizes (P, 2, 2) as
+    [[w1, h1], [w2, h2]] per pair (zeros -> unscaled threshold).
+    No guided matching (use the single-pair path for that).
+    Returns (list of TwoViewInfo or None, list of corr (Mi, 4)).
+    """
+    opts = opts or GeometricVerificationOptions()
+    P = pix1.shape[0]
+    f1 = np.asarray(focal1, float)
+    f2 = np.asarray(focal2, float)
+    x1 = (np.asarray(pix1) - np.asarray(pp1)[:, None]) / f1[:, None,
+                                                            None]
+    x2 = (np.asarray(pix2) - np.asarray(pp2)[:, None]) / f2[:, None,
+                                                            None]
+    ev = opts.estimate_twoview_info
+    thresh = ev.max_sampson_error_pixels ** 2 / (f1 * f2)
+    sizes = np.asarray(image_sizes, float)
+    scale = np.where(sizes.max(axis=2) > 0,
+                     sizes.max(axis=2) / 1024.0, 1.0)   # (P, 2)
+    h_thresh = (ev.max_sampson_error_pixels ** 2 *
+                scale[:, 0] * scale[:, 1])
+
+    keys = jax.random.split(key, P)
+    aa, t, keep, n_keep, n_h, n_epi = _jitted_verify_batch(
+        ev.num_hypotheses)(
+        keys, jnp.asarray(x1), jnp.asarray(x2),
+        jnp.asarray(np.asarray(pix1, float)),
+        jnp.asarray(np.asarray(pix2, float)),
+        jnp.asarray(mask), jnp.asarray(thresh),
+        jnp.asarray(h_thresh), jnp.asarray(f1), jnp.asarray(f2),
+        jnp.asarray(opts.final_max_reprojection_error_pixels))
+    aa = np.asarray(aa)
+    t = np.asarray(t)
+    keep = np.asarray(keep)
+    n_keep = np.asarray(n_keep)
+    n_h = np.asarray(n_h)
+
+    infos, corrs = [], []
+    for p in range(P):
+        if int(n_keep[p]) < opts.min_num_inlier_matches:
+            infos.append(None)
+            corrs.append(np.zeros((0, 4)))
+            continue
+        R = np.asarray(rot.angle_axis_to_rotation_matrix(
+            jnp.asarray(aa[p])))
+        infos.append(TwoViewInfo(
+            focal_length_1=float(f1[p]), focal_length_2=float(f2[p]),
+            rotation_2=aa[p].astype(float),
+            position_2=-R.T @ t[p],
+            num_verified_matches=int(n_keep[p]),
+            num_homography_inliers=int(n_h[p])))
+        sel = keep[p]
+        corrs.append(np.concatenate(
+            [np.asarray(pix1)[p][sel], np.asarray(pix2)[p][sel]],
+            axis=1))
+    return infos, corrs
+
+
 def verify_matches(key, pix1, pix2, focal1, focal2, pp1, pp2,
                    opts: GeometricVerificationOptions = None,
                    kp1_all=None, kp2_all=None, desc1=None, desc2=None,

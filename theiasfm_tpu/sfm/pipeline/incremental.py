@@ -46,6 +46,11 @@ class IncrementalOptions:
     full_bundle_adjustment_growth_percent: float = 5.0
     partial_ba_num_views: int = 20
     min_num_two_view_inliers: int = 30
+    # seed acceptance: triangulated tracks required of an initial pair
+    # (ref kMinNumInitialTracks = 100,
+    # incremental_reconstruction_estimator.cc:324); scenes with fewer
+    # total tracks fall back to the best-scoring pair
+    min_num_initial_tracks: int = 100
     # max candidate views localized per vmapped RANSAC round
     localize_round_size: int = 16
     localize: LocalizeOptions = LocalizeOptions()
@@ -82,14 +87,15 @@ def _order_initial_pairs(recon: Reconstruction, graph: ViewGraph,
 
 
 def _initialize_from_pair(recon: Reconstruction, graph: ViewGraph,
-                          pair, opts: IncrementalOptions, key) -> bool:
+                          pair, opts: IncrementalOptions, key) -> int:
+    """Place the seed pair and triangulate; returns #tracks estimated
+    (ref InitializeCamerasFromTwoViewInfo + EstimateStructure,
+    incremental_reconstruction_estimator.cc:303-352)."""
     v1, v2 = pair
     info = graph.edge(v1, v2)
     cam1 = recon.views[v1].camera
     cam2 = recon.views[v2].camera
     cam1.extrinsics = np.zeros(6)
-    R_rel = np.asarray(
-        rot.angle_axis_to_rotation_matrix(jnp.asarray(info.rotation_2)))
     cam2.extrinsics = np.concatenate([
         np.asarray(info.position_2, float),
         np.asarray(info.rotation_2, float)])
@@ -97,7 +103,7 @@ def _initialize_from_pair(recon: Reconstruction, graph: ViewGraph,
     recon.views[v2].is_estimated = True
     n = estimate_all_tracks(recon, opts.tracks)
     logger.info("initial pair (%s, %s): %d tracks", v1, v2, n)
-    return n >= 4
+    return n
 
 
 def _run_ba(recon: Reconstruction, opts: IncrementalOptions,
@@ -170,22 +176,34 @@ def incremental_reconstruction(recon: Reconstruction, graph: ViewGraph,
     if len(recon.estimated_views()) >= 2:
         estimate_all_tracks(recon, opts.tracks)
     else:
-        # try ordered seed pairs until one initializes (ref
-        # ChooseInitialViewPair loop at
-        # incremental_reconstruction_estimator.cc:323-350)
+        # try ordered seed pairs until one triangulates enough tracks
+        # (ref ChooseInitialViewPair, kMinNumInitialTracks = 100,
+        # incremental_reconstruction_estimator.cc:323-360). Unlike the
+        # reference we keep the best-scoring attempt as a fallback so
+        # small scenes (< 100 tracks total) still initialize.
         pairs = _order_initial_pairs(recon, graph, opts)
         if not pairs:
             return {"success": False, "reason": "no initial pair"}
-        initialized = False
-        for pair in pairs[:10]:
-            if _initialize_from_pair(recon, graph, pair, opts, k0):
-                initialized = True
-                break
-            # reset the failed attempt
+
+        def _reset(pair):
             for v in pair:
                 recon.views[v].is_estimated = False
             for t in recon.tracks.values():
                 t.is_estimated = False
+
+        initialized = False
+        best_pair, best_n = None, 0
+        for pair in pairs[:20]:
+            n = _initialize_from_pair(recon, graph, pair, opts, k0)
+            if n >= opts.min_num_initial_tracks:
+                initialized = True
+                break
+            if n > best_n:
+                best_pair, best_n = pair, n
+            _reset(pair)
+        if not initialized and best_pair is not None and best_n >= 4:
+            _initialize_from_pair(recon, graph, best_pair, opts, k0)
+            initialized = True
         if not initialized:
             return {"success": False, "reason": "initialization failed"}
     _run_ba(recon, opts)
