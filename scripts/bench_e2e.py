@@ -57,6 +57,9 @@ def main():
         paths.append(dst)
 
     def run_once():
+        from theiasfm_tpu.utils import (dispatch_counts,
+                                        reset_dispatch_counts)
+        reset_dispatch_counts()
         opts = ReconstructionBuilderOptions(
             reconstruction_estimator_type="INCREMENTAL",
             sift=SiftOptions(num_octaves=4,
@@ -86,7 +89,8 @@ def main():
         return dict(extract_match_s=t1 - t0, reconstruct_s=t2 - t1,
                     total_s=t2 - t0, n_pairs=n_pairs,
                     n_estimated_views=n_views,
-                    mean_reproj_px=mean_reproj)
+                    mean_reproj_px=mean_reproj,
+                    pipeline_dispatches=dispatch_counts())
 
     # first run pays all jit compiles; the steady-state rep is the
     # throughput number (a production deployment runs warm)
