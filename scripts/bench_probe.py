@@ -119,7 +119,10 @@ def main():
     if mode == "matched":
         import dataclasses
         # 1) exact solve to convergence -> reference cost c*
-        exact = BAOptions(max_iterations=60, cg_iterations=100,
+        # (milder CG budget at >1500 cams: the 100-iteration exact
+        # config has crashed the axon TPU worker at Piccadilly scale)
+        exact = BAOptions(max_iterations=60,
+                          cg_iterations=100 if n_cams <= 1500 else 60,
                           cg_tol=1e-6, loss="huber", loss_scale=2.0,
                           function_tolerance=1e-9,
                           point_indices_sorted=True)

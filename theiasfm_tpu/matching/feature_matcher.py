@@ -36,7 +36,10 @@ class FeatureMatcherOptions:
     min_num_feature_matches: int = 30
     perform_geometric_verification: bool = True
     matcher: str = "brute_force"  # 'brute_force' | 'cascade_hashing'
-    pair_batch_size: int = 16
+    # pairs per device batch: matching AND geometric verification ride
+    # one vmapped dispatch per chunk, so bigger chunks amortize the
+    # dispatch latency (32 covers an 8-image all-pairs run in one)
+    pair_batch_size: int = 32
     geometric_verification: TwoViewInfoOptions = TwoViewInfoOptions()
     seed: int = 0
 
