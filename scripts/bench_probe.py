@@ -57,7 +57,8 @@ def main():
     while stripping:
         stripping = False
         for suf in ("_nojr", "_jr", "_bf16", "_cg1", "_cg10", "_nopre",
-                    "_eta", "_inner0", "_inner2", "_pallas", "_pblocks"):
+                    "_eta", "_inner0", "_inner2", "_pallas", "_pblocks",
+                    "_pt"):
             if solver.endswith(suf):
                 solver = solver[:-len(suf)]
                 stripping = True
@@ -84,6 +85,9 @@ def main():
                 elif suf == "_pblocks":
                     extra["pallas_matvec"] = True
                     extra["pallas_blocks"] = True
+                elif suf == "_pt":
+                    extra["pallas_matvec"] = True
+                    extra["pallas_transposed"] = True
     best_of_pallas_xla = solver == "pcg_fast_best"
     if best_of_pallas_xla:
         solver = "pcg_fast"

@@ -31,6 +31,50 @@ def _vgmat(vg, P):
 import pytest
 
 
+def test_fused_matvec_transposed_matches_einsum():
+    """Transposed (F, M) jacobian layout kernels match the reference
+    math (same checks as the row-layout test)."""
+    rng = np.random.default_rng(0)
+    M, Nc, Np, P, B = 1024, 12, 100, 1, 256
+    obs_cam, obs_pt, Jc, Ji, Jp, vc, vg, zp = _rand_problem(
+        rng, M, Nc, Np, P, B)
+    plan = MatvecPlan(obs_cam, obs_pt, Nc, Np, block=B)
+    fm = FusedMatvec(plan, P, interpret=True)
+
+    jc_t = jnp.asarray(Jc.T)
+    ji_t = jnp.asarray(Ji.T)
+    jp_t = jnp.asarray(Jp.T)
+    vc_t = jnp.zeros((6, plan.cam_pad),
+                     jnp.float32).at[:, :Nc].set(vc.T)
+    vgmat_t = jnp.asarray(np.asarray(_vgmat(vg, P)).T)
+    u_t, wp = fm.pass1_t(jc_t, ji_t, jp_t, vc_t, vgmat_t)
+
+    Jc3 = Jc.reshape(M, 2, 6)
+    Ji3 = Ji.reshape(M, 2, P)
+    Jp3 = Jp.reshape(M, 2, 3)
+    u_ref = (np.einsum("mki,mi->mk", Jc3, vc[obs_cam]) +
+             np.einsum("mkp,p->mk", Ji3, vg))
+    np.testing.assert_allclose(np.asarray(u_t)[:2].T, u_ref,
+                               rtol=2e-5, atol=2e-5)
+    wp_ref = np.zeros((Np, 3))
+    np.add.at(wp_ref, obs_pt, np.einsum("mkc,mk->mc", Jp3, u_ref))
+    np.testing.assert_allclose(np.asarray(wp)[:Np, :3], wp_ref,
+                               rtol=3e-4, atol=3e-4)
+
+    zp_pad = jnp.zeros((plan.Np_pad, 128),
+                       jnp.float32).at[:Np, :3].set(zp)
+    yc, yg = fm.pass2_t(jc_t, ji_t, jp_t, u_t, zp_pad)
+    u2_ref = np.einsum("mkc,mc->mk", Jp3, zp[obs_pt])
+    d_ref = u_ref - u2_ref
+    yc_ref = np.zeros((Nc, 6))
+    np.add.at(yc_ref, obs_cam, np.einsum("mki,mk->mi", Jc3, d_ref))
+    np.testing.assert_allclose(np.asarray(yc)[:Nc, :6], yc_ref,
+                               rtol=3e-4, atol=3e-4)
+    zg_full = np.einsum("mf,mk->fk", Ji, d_ref)
+    np.testing.assert_allclose(np.asarray(yg)[:2 * P, :2], zg_full,
+                               rtol=3e-4, atol=3e-4)
+
+
 @pytest.mark.parametrize("stream", [False, True])
 def test_fused_matvec_matches_einsum(stream):
     rng = np.random.default_rng(0)
@@ -107,6 +151,12 @@ def test_bundle_adjust_pallas_matvec_matches_xla():
     np.testing.assert_allclose(float(s1.final_cost),
                                float(s0.final_cost), rtol=1e-3)
     assert float(s1.final_cost) < 0.5 * float(s1.initial_cost)
+    # transposed (F, M) kernel layout must agree too
+    _, s2 = bundle_adjust(
+        prob, dataclasses.replace(base, pallas_matvec=True,
+                                  pallas_transposed=True))
+    np.testing.assert_allclose(float(s2.final_cost),
+                               float(s0.final_cost), rtol=1e-3)
 
 
 def test_bundle_adjust_pallas_blocks_matches_xla():

@@ -227,6 +227,135 @@ def _pass2_kernel(B, W, Ncp, P, mv_dtype, stream,
         yg_ref[...] = acc_g[...]
 
 
+def _pass1_t_kernel(B, W, Ncp, P, mv_dtype, stream,
+                    p0_ref, ids_ref, jc_ref, ji_ref, jp_ref,
+                    vc_ref, vgmat_ref, wp_in_ref, u_ref, wp_ref):
+    """Transposed-layout pass 1: u = Jc vc[cam] + Ji vg;
+    wp[window] += onehot^T (Jp^T u).
+
+    Jacobians ride as (F, B) blocks of (F, M) arrays — COMPACT in HBM
+    (sublanes F pad to the next multiple of 8; the row-major (M, F)
+    layout pads lanes F -> 128, a 6-21x DMA amplification per tile).
+    vc rides transposed (6, Ncp); vgmat as (2, 2P); u as rows 0:2 of
+    an (8, M) buffer.
+    """
+    i = pl.program_id(0)
+    jcT = jc_ref[...]                       # (12, B)
+    jiT = ji_ref[...]                       # (2P, B)
+    jpT = jp_ref[...]                       # (6, B)
+    row = (2 * i) % 8 if stream else 2 * i
+    cam = ids_ref[row, :]
+    lpt = ids_ref[row + 1, :]
+
+    oh_cb = (jax.lax.broadcasted_iota(jnp.int32, (Ncp, B), 0) ==
+             cam[None, :]).astype(mv_dtype)            # (Ncp, B)
+    vc_mT = jax.lax.dot_general(
+        vc_ref[...].astype(mv_dtype), oh_cb,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (6, B)
+    vc_mT = vc_mT.astype(mv_dtype)
+    u0 = jnp.sum((jcT[0:6, :] * vc_mT).astype(jnp.float32), axis=0)
+    u1 = jnp.sum((jcT[6:12, :] * vc_mT).astype(jnp.float32), axis=0)
+    ug = jax.lax.dot_general(
+        vgmat_ref[...].astype(jiT.dtype), jiT,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (2, B)
+    u0 = u0 + ug[0, :]
+    u1 = u1 + ug[1, :]
+    ub = jnp.concatenate(
+        [u0[None, :], u1[None, :],
+         jnp.zeros((6, B), jnp.float32)], axis=0)      # (8, B)
+    u_ref[...] = ub
+    um0 = u0.astype(mv_dtype)
+    um1 = u1.astype(mv_dtype)
+    tT = (jpT[0:3, :] * um0[None, :] +
+          jpT[3:6, :] * um1[None, :]).astype(jnp.float32)  # (3, B)
+    oh_wb = (jax.lax.broadcasted_iota(jnp.int32, (W, B), 0) ==
+             lpt[None, :]).astype(tT.dtype)
+    part = jax.lax.dot_general(
+        oh_wb, tT, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (W, 3)
+
+    def rmw(buf, dma_sem):
+        p0 = p0_ref[i]
+        cp = pltpu.make_async_copy(
+            wp_ref.at[pl.ds(p0, W), :], buf, dma_sem)
+        cp.start()
+        cp.wait()
+        buf[:, 0:3] = buf[:, 0:3] + part
+        cp2 = pltpu.make_async_copy(
+            buf, wp_ref.at[pl.ds(p0, W), :], dma_sem)
+        cp2.start()
+        cp2.wait()
+
+    pl.run_scoped(rmw, pltpu.VMEM((W, 128), jnp.float32),
+                  pltpu.SemaphoreType.DMA(()))
+
+
+def _pass2_t_kernel(B, W, Ncp, P, mv_dtype, stream,
+                    p0_ref, ids_ref, jc_ref, ji_ref, jp_ref,
+                    u_ref, zp_ref, yc_ref, yg_ref, acc_c, acc_g):
+    """Transposed-layout pass 2: d = u - Jp zp[pt];
+    yc += onehot(cam)^T (Jc^T d); yg += Ji^T d."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_c[...] = jnp.zeros_like(acc_c)
+        acc_g[...] = jnp.zeros_like(acc_g)
+
+    jcT = jc_ref[...]
+    jiT = ji_ref[...]
+    jpT = jp_ref[...]
+    row = (2 * i) % 8 if stream else 2 * i
+    cam = ids_ref[row, :]
+    lpt = ids_ref[row + 1, :]
+    ub = u_ref[...]                               # (8, B), rows 0:2
+
+    def body(zbuf, dma_sem):
+        p0 = p0_ref[i]
+        cp = pltpu.make_async_copy(
+            zp_ref.at[pl.ds(p0, W), :], zbuf, dma_sem)
+        cp.start()
+        cp.wait()
+        oh_wb = (jax.lax.broadcasted_iota(jnp.int32, (W, B), 0) ==
+                 lpt[None, :]).astype(mv_dtype)
+        zmT = jax.lax.dot_general(
+            zbuf[:, 0:3].astype(mv_dtype), oh_wb,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)   # (3, B)
+        zmT = zmT.astype(mv_dtype)
+        u2_0 = jnp.sum((jpT[0:3, :] * zmT).astype(jnp.float32),
+                       axis=0)
+        u2_1 = jnp.sum((jpT[3:6, :] * zmT).astype(jnp.float32),
+                       axis=0)
+        d0 = ub[0, :] - u2_0
+        d1 = ub[1, :] - u2_1
+        dm0 = d0.astype(mv_dtype)
+        dm1 = d1.astype(mv_dtype)
+        ycbT = (jcT[0:6, :] * dm0[None, :] +
+                jcT[6:12, :] * dm1[None, :])      # (6, B) mv_dtype
+        oh_cb = (jax.lax.broadcasted_iota(jnp.int32, (Ncp, B), 0) ==
+                 cam[None, :]).astype(mv_dtype)
+        acc_c[...] = acc_c[...] + jax.lax.dot_general(
+            oh_cb, ycbT, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)   # (Ncp, 6)
+        dmb = jnp.concatenate([dm0[None, :], dm1[None, :]],
+                              axis=0)             # (2, B)
+        acc_g[...] = acc_g[...] + jax.lax.dot_general(
+            jiT, dmb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)   # (2P, 2)
+
+    pl.run_scoped(body, pltpu.VMEM((W, 128), jnp.float32),
+                  pltpu.SemaphoreType.DMA(()))
+
+    @pl.when(i == n - 1)
+    def _():
+        yc_ref[...] = acc_c[...]
+        yg_ref[...] = acc_g[...]
+
+
 class FusedMatvec:
     """S-matvec observation sweeps as two Pallas launches.
 
@@ -310,6 +439,88 @@ class FusedMatvec:
         B = self.plan.B
         return pl.BlockSpec((8, B), lambda i, p0: (i // 4, 0),
                             memory_space=pltpu.VMEM)
+
+    def _jspec_t(self, F):
+        # (F, B) block of the TRANSPOSED (F, M) array: compact in HBM
+        # (F sublanes pad to the next 8 vs F lanes padding to 128 in
+        # the row-major layout — 6-21x less DMA per tile)
+        B = self.plan.B
+        return pl.BlockSpec((F, B), lambda i, p0: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    def pass1_t(self, jc_t, ji_t, jp_t, vc_t, vgmat_t):
+        """Transposed-layout pass 1. jc_t (12, M), ji_t (2P, M),
+        jp_t (6, M); vc_t (6, cam_pad); vgmat_t (2, 2P).
+        Returns (u (8, M) rows 0:2, wp (Np_pad, 128))."""
+        plan, P = self.plan, self.P
+        B, W, G, Ncp = plan.B, plan.W, plan.G, plan.cam_pad
+        M = plan.M
+        kern = functools.partial(_pass1_t_kernel, B, W, Ncp, P,
+                                 self.mv_dtype, self.stream_ids)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(G,),
+            in_specs=[
+                self._idspec(),
+                self._jspec_t(12), self._jspec_t(2 * P),
+                self._jspec_t(6),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # vc_t (6,Ncp)
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # vgmat_t
+                pl.BlockSpec(memory_space=pltpu.HBM),   # wp zero init
+            ],
+            out_specs=[
+                self._jspec_t(8),                       # u (8, M)
+                pl.BlockSpec(memory_space=pltpu.HBM),   # wp (aliased)
+            ],
+        )
+        wp0 = jnp.zeros((plan.Np_pad, 128), jnp.float32)
+        u, wp = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((8, M), jnp.float32),
+                jax.ShapeDtypeStruct((plan.Np_pad, 128),
+                                     jnp.float32),
+            ],
+            # p0(0), ids(1), jc(2), ji(3), jp(4), vc(5), vgmat(6),
+            # wp0(7) -> aliases output 1
+            input_output_aliases={7: 1},
+            interpret=self.interpret,
+        )(self.p0, self.ids, jc_t, ji_t, jp_t, vc_t, vgmat_t, wp0)
+        return u, wp
+
+    def pass2_t(self, jc_t, ji_t, jp_t, u_t, zp_pad):
+        plan, P = self.plan, self.P
+        B, W, G, Ncp = plan.B, plan.W, plan.G, plan.cam_pad
+        kern = functools.partial(_pass2_t_kernel, B, W, Ncp, P,
+                                 self.mv_dtype, self.stream_ids)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(G,),
+            in_specs=[
+                self._idspec(),
+                self._jspec_t(12), self._jspec_t(2 * P),
+                self._jspec_t(6),
+                self._jspec_t(8),                       # u (8, M)
+                pl.BlockSpec(memory_space=pltpu.HBM),   # zp HBM
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # yc (Ncp, 6)
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # yg (2P, 2)
+            ],
+            scratch_shapes=[pltpu.VMEM((Ncp, 6), jnp.float32),
+                            pltpu.VMEM((2 * P, 2), jnp.float32)],
+        )
+        yc, yg = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((Ncp, 6), jnp.float32),
+                jax.ShapeDtypeStruct((2 * P, 2), jnp.float32),
+            ],
+            interpret=self.interpret,
+        )(self.p0, self.ids, jc_t, ji_t, jp_t, u_t, zp_pad)
+        return yc, yg
 
     def pass1(self, jc_c, ji_c, jp_c, vc_pad, vgmat):
         plan, P = self.plan, self.P
