@@ -111,7 +111,9 @@ def main():
                               "pcg_fast", "60", "2", "matched"])
             headline_cfg = "pcg_fast"
     # 2) raw throughput (same config) for round-over-round comparison
-    raw_cfg = {"pcg_fast_xla": "pcg_fast",
+    raw_cfg = {"pcg_fast_pallas_t": "pcg_fast_pallas",
+               "pcg_fast_pallas": "pcg_fast_pallas_prow",
+               "pcg_fast_xla": "pcg_fast",
                None: "pcg_fast"}.get(headline_cfg, headline_cfg)
     if time.time() < deadline and _wait_for_tpu(deadline):
         raw = _probe(["bench_probe.py", "550", "140000",

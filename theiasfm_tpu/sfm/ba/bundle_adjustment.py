@@ -738,7 +738,12 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
                 interpret=jax.default_backend() != "tpu",
                 cam_tiles=prob.pmv_cam_tiles,
                 lpt_tiles=prob.pmv_lpt_tiles, p0=prob.pmv_p0)
-            if opts.pallas_transposed:
+            # transposed tiles measured 2.1x at 550 cams (18.7 vs 8.8
+            # iters/s) and 1.4x at 2152 (4.58 vs 3.27), but LOSE at
+            # 5288 (0.74 vs 1.10): the in-kernel (Ncp, B) one-hot
+            # camera gather outgrows VMEM — gate by camera count
+            _use_t = opts.pallas_transposed and Nc <= 3000
+            if _use_t:
                 # one transpose per damped solve; every CG iteration
                 # then reads compact (F, B) tiles
                 jc_cp, ji_cp, jp_cp = Jc_mv.T, Ji_mv.T, Jp_mv.T
@@ -746,7 +751,7 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
                 jc_cp, ji_cp, jp_cp = Jc_mv, Ji_mv, Jp_mv
 
             def S_matvec_pallas(vc, vg):
-                if opts.pallas_transposed:
+                if _use_t:
                     vc_t = jnp.zeros((6, shapes.cam_pad),
                                      jnp.float32).at[:, :Nc].set(vc.T)
                     vgm_t = _vg_mat(vg[0], jnp.float32).T
@@ -762,7 +767,7 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
                                   wp_pad[:Np, :3])
                 zp_pad = jnp.zeros((shapes.Np_pad, 128),
                                    jnp.float32).at[:Np, :3].set(zp)
-                if opts.pallas_transposed:
+                if _use_t:
                     yc_p, yg_p = fm.pass2_t(jc_cp, ji_cp, jp_cp, u_c,
                                             zp_pad)
                 else:

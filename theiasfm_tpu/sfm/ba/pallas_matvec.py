@@ -247,10 +247,13 @@ def _pass1_t_kernel(B, W, Ncp, P, mv_dtype, stream,
     cam = ids_ref[row, :]
     lpt = ids_ref[row + 1, :]
 
+    # gather in f32 (one-hot matmul is exact there); cast the RESULT
+    # to the matvec dtype — rounding vc itself to bf16 before the
+    # gather measurably slows LM convergence (21 vs 10 matched iters)
     oh_cb = (jax.lax.broadcasted_iota(jnp.int32, (Ncp, B), 0) ==
-             cam[None, :]).astype(mv_dtype)            # (Ncp, B)
+             cam[None, :]).astype(jnp.float32)         # (Ncp, B)
     vc_mT = jax.lax.dot_general(
-        vc_ref[...].astype(mv_dtype), oh_cb,
+        vc_ref[...], oh_cb,
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)            # (6, B)
     vc_mT = vc_mT.astype(mv_dtype)
@@ -320,9 +323,9 @@ def _pass2_t_kernel(B, W, Ncp, P, mv_dtype, stream,
         cp.start()
         cp.wait()
         oh_wb = (jax.lax.broadcasted_iota(jnp.int32, (W, B), 0) ==
-                 lpt[None, :]).astype(mv_dtype)
+                 lpt[None, :]).astype(jnp.float32)
         zmT = jax.lax.dot_general(
-            zbuf[:, 0:3].astype(mv_dtype), oh_wb,
+            zbuf[:, 0:3], oh_wb,
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)   # (3, B)
         zmT = zmT.astype(mv_dtype)
