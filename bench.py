@@ -122,6 +122,15 @@ def main():
             secondary["lm_iters_per_sec"] = raw["iters_per_sec"]
             secondary["lm_iters_per_sec_vs_ceres_iters"] = round(
                 raw["iters_per_sec"] / BASELINE_ITERS_PER_SEC, 2)
+        # raw throughput of the transposed-tile kernel layout (the
+        # fastest per-iteration config: 18.8 iters/s measured) even
+        # when the matched-cost winner was a different trajectory
+        if raw_cfg != "pcg_fast_pallas" and _wait_for_tpu(deadline):
+            raw_t = _probe(["bench_probe.py", "550", "140000",
+                            "pcg_fast_pallas", "24", "2"])
+            if raw_t:
+                secondary["lm_iters_per_sec_transposed"] = \
+                    raw_t["iters_per_sec"]
     # 3) non-BA global-pipeline stages on-chip (round-3 verdict
     # missing #2): rotation averaging + LUD position at ND scale
     if time.time() < deadline - 900 and _wait_for_tpu(deadline):
