@@ -111,8 +111,8 @@ def main():
                               "pcg_fast", "60", "2", "matched"])
             headline_cfg = "pcg_fast"
     # 2) raw throughput (same config) for round-over-round comparison
-    raw_cfg = {"pcg_fast_pallas_t": "pcg_fast_pallas",
-               "pcg_fast_pallas": "pcg_fast_pallas_prow",
+    raw_cfg = {"pcg_fast_pt": "pcg_fast_pt",
+               "pcg_fast_prow": "pcg_fast_prow",
                "pcg_fast_xla": "pcg_fast",
                None: "pcg_fast"}.get(headline_cfg, headline_cfg)
     if time.time() < deadline and _wait_for_tpu(deadline):
@@ -125,9 +125,9 @@ def main():
         # raw throughput of the transposed-tile kernel layout (the
         # fastest per-iteration config: 18.8 iters/s measured) even
         # when the matched-cost winner was a different trajectory
-        if raw_cfg != "pcg_fast_pallas" and _wait_for_tpu(deadline):
+        if raw_cfg != "pcg_fast_pt" and _wait_for_tpu(deadline):
             raw_t = _probe(["bench_probe.py", "550", "140000",
-                            "pcg_fast_pallas", "24", "2"])
+                            "pcg_fast_pt", "24", "2"])
             if raw_t:
                 secondary["lm_iters_per_sec_transposed"] = \
                     raw_t["iters_per_sec"]

@@ -162,10 +162,12 @@ def main():
             # the transposed-Pallas, row-Pallas and pure-XLA matvec
             # configs to the same target, report the winner
             # (honestly labeled)
+            # labels match the CLI suffix parser exactly (_pt / _prow)
+            # so a recorded solver string always names ONE layout
             candidates = [
-                ("pcg_fast_pallas_t", dataclasses.replace(
+                ("pcg_fast_pt", dataclasses.replace(
                     opts, pallas_matvec=True, pallas_transposed=True)),
-                ("pcg_fast_pallas", dataclasses.replace(
+                ("pcg_fast_prow", dataclasses.replace(
                     opts, pallas_matvec=True,
                     pallas_transposed=False)),
                 ("pcg_fast_xla", opts),

@@ -176,40 +176,15 @@ class FeatureMatcher:
         gv_base = dict(
             estimate_twoview_info=self.options.geometric_verification,
             min_num_inlier_matches=self.options
-            .min_num_feature_matches)
+            .min_num_feature_matches,
+            guided_matching=self.options.guided_matching)
         from ..sfm.pipeline.geometric_verification import (
-            GeometricVerificationOptions, verify_matches,
-            verify_matches_batch)
-
-        if self.options.guided_matching:
-            # guided matching grows the match set per pair from ALL
-            # features — stays on the single-pair path
-            for i, a, b, corr in putative:
-                prior1 = self.db.get_intrinsics_prior(a)
-                prior2 = self.db.get_intrinsics_prior(b)
-                f1, pp1 = _focal_pp(prior1)
-                f2, pp2 = _focal_pp(prior2)
-                key, k = jax.random.split(key)
-                gv = GeometricVerificationOptions(
-                    guided_matching=True, **gv_base)
-                info, corr_v = verify_matches(
-                    k, corr[:, :2], corr[:, 2:], f1, f2, pp1, pp2, gv,
-                    kp1_all=kp1p[i], kp2_all=kp2p[i],
-                    desc1=jnp.asarray(d1[i]), desc2=jnp.asarray(d2[i]),
-                    mask1=m1[i], mask2=m2[i],
-                    image_size1=_image_size(prior1),
-                    image_size2=_image_size(prior2))
-                if info is None:
-                    continue
-                self.db.put_match(a, b, ImagePairMatch(
-                    image1=a, image2=b, twoview_info=info,
-                    correspondences=corr_v))
-                n_verified += 1
-            return n_verified
+            GeometricVerificationOptions, verify_matches_batch)
 
         # ONE batched dispatch verifies every pair in the chunk
-        # (5-pt RANSAC + homography count + 2-view BA + triangulation
-        # gates; the per-pair host loop paid ~7 dispatches per pair)
+        # (5-pt RANSAC + homography count + optional guided epipolar
+        # matching + 2-view BA + triangulation gates; the per-pair
+        # host loop paid ~7 dispatches per pair)
         Pn = len(putative)
         maxm = next_bucket(max(len(c) for _, _, _, c in putative), 64)
         pix1 = np.zeros((Pn, maxm, 2))
@@ -235,8 +210,18 @@ class FeatureMatcher:
         from ..utils import count_dispatch
         count_dispatch("verify_pairs_batch")
         gv = GeometricVerificationOptions(**gv_base)
+        guided_kw = {}
+        if self.options.guided_matching:
+            # guided matching grows the match set from ALL features —
+            # ship the chunk's padded kp/desc arrays with the batch
+            sel = [i for i, _, _, _ in putative]
+            guided_kw = dict(
+                kp1_all=kp1p[sel], kp2_all=kp2p[sel],
+                desc1=d1[sel], desc2=d2[sel],
+                fmask1=m1[sel], fmask2=m2[sel])
         infos, corrs = verify_matches_batch(
-            k, pix1, pix2, pmask, f1s, f2s, pp1s, pp2s, sizes, gv)
+            k, pix1, pix2, pmask, f1s, f2s, pp1s, pp2s, sizes, gv,
+            **guided_kw)
         for j, (i, a, b, _) in enumerate(putative):
             if infos[j] is None:
                 continue

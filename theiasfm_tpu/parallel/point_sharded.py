@@ -80,7 +80,7 @@ def partition_problem_by_point(prob: BAProblem, n_dev: int,
     dtype = np.asarray(prob.points).dtype
     obs_cam = np.zeros((D, M_loc), np.int32)
     obs_group = np.zeros((D, M_loc), np.int32)
-    obs_pt_loc = np.full((D, M_loc), Np_loc - 1, np.int32)
+    obs_pt_loc = np.zeros((D, M_loc), np.int32)
     obs_pix = np.zeros((D, M_loc, 2), dtype)
     obs_mask = np.zeros((D, M_loc), bool)
     points = np.zeros((D, Np_loc, 3), dtype)
@@ -97,6 +97,11 @@ def partition_problem_by_point(prob: BAProblem, n_dev: int,
         obs_cam[d, :m] = np.asarray(prob.obs_cam)[o0:o1]
         obs_group[d, :m] = np.asarray(prob.obs_group)[o0:o1]
         obs_pt_loc[d, :m] = obs_pt[o0:o1] - p0
+        # padding obs target the shard's LAST REAL local point (masked
+        # jacobians make the target irrelevant) so the Pallas point
+        # window stays tight on point-imbalanced shards; Np_loc - 1
+        # would inflate W (and per-tile VMEM) toward Np_loc - n.
+        obs_pt_loc[d, m:] = max(int(n) - 1, 0)
         obs_pix[d, :m] = np.asarray(prob.obs_pix)[o0:o1]
         obs_mask[d, :m] = src_mask[o0:o1]
         points[d, :n] = np.asarray(prob.points)[p0:p1]

@@ -72,84 +72,139 @@ import functools
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_verify_batch(num_hypotheses: int):
+def _jitted_verify_batch(num_hypotheses: int, bundle_adjustment: bool,
+                         guided: bool, lowes_ratio: float = 0.9):
     """The WHOLE per-pair verification pipeline (5-pt RANSAC +
-    homography count + 2-view BA + triangulation filter) vmapped over
-    a padded batch of pairs — ONE device dispatch where the host loop
-    paid ~7 per pair (the round-3 e2e wall time was dispatch-bound)."""
+    homography count + optional guided epipolar matching + 2-view BA +
+    triangulation filter) vmapped over a padded batch of pairs — ONE
+    device dispatch where the host loop paid ~7 per pair (the round-3
+    e2e wall time was dispatch-bound).
+
+    With guided=True the per-pair call also takes the FULL padded
+    feature arrays (kp (N, 2) pixels, desc (N, D), fmask (N,)); the
+    grown match set rides a static (maxm + N) combined buffer through
+    BA and the triangulation gates (ref
+    two_view_match_geometric_verification.cc guided step)."""
     from ...solvers import RansacOptions, ransac
     from ..ba.two_view import bundle_adjust_two_views_angular
     from ..estimators.twoview_estimators import _singleton_spec
     from .. import triangulation as tri
+    from ...matching.guided_matcher import guided_epipolar_matching
 
     spec = _singleton_spec("relative_pose")
     hspec = _singleton_spec("homography")
     ropts = RansacOptions(error_thresh=1.0,
                           num_hypotheses=num_hypotheses)
 
+    def one(k, a, b, pa, pb, m, th, hth, fo1, fo2, pp1, pp2,
+            final_px, band_px, kp1=None, kp2=None, de1=None, de2=None,
+            fm1=None, fm2=None):
+        k1, k2 = jax.random.split(k)
+        sspec = _dc.replace(
+            spec, residuals=lambda E, d: spec.residuals(E, d) / th)
+        E, summary = ransac(k1, sspec, {"x1": a, "x2": b}, ropts,
+                            data_mask=m)
+        from ..pose.twoview_utils import relative_pose_from_essential
+        R, t, _ = relative_pose_from_essential(
+            E, a, b, mask=summary.inliers)
+        # homography inliers over the putative matches (pixel
+        # space, resolution-scaled threshold — ref
+        # CountHomographyInliers)
+        hs = _dc.replace(
+            hspec,
+            residuals=lambda H, d: hspec.residuals(H, d) / hth)
+        _, hsum = ransac(k2, hs, {"x1": pa, "x2": pb}, ropts,
+                         data_mask=m)
+        w = (summary.inliers & m).astype(a.dtype)
+        aa = rot.rotation_matrix_to_angle_axis(R)
+
+        if guided:
+            # grow the match set along epipolar lines of the RANSAC
+            # pose over ALL features (pre-BA pose, like the
+            # single-pair path / ref guided_epipolar_matcher.cc)
+            F = fundamental_from_essential(E, fo1, fo2, pp1, pp2)
+            nomatch = jnp.zeros(kp1.shape[0], bool)
+            gidx2, gvalid = guided_epipolar_matching(
+                F, kp1, kp2, de1, de2, fm1, fm2, nomatch, nomatch,
+                band_pixels=band_px, lowes_ratio=lowes_ratio)
+            g1 = (kp1 - pp1) / fo1
+            g2 = (kp2[gidx2] - pp2) / fo2
+            a_all = jnp.concatenate([a, g1], 0)
+            b_all = jnp.concatenate([b, g2], 0)
+            w_all = jnp.concatenate([w, gvalid.astype(a.dtype)], 0)
+        else:
+            gidx2 = jnp.zeros((0,), jnp.int32)
+            gvalid = jnp.zeros((0,), bool)
+            a_all, b_all, w_all = a, b, w
+
+        # 2-view BA on the (grown) inlier set — guarded like the
+        # single-pair path: skip below 8 inliers (an ill-conditioned
+        # refinement from fewer can still pass the final gate)
+        if bundle_adjustment:
+            aa_ba, t_ba = bundle_adjust_two_views_angular(
+                aa, t, a_all, b_all, w_all)
+            enough = jnp.sum(w_all) >= 8
+            aa2 = jnp.where(enough, aa_ba, aa)
+            t2 = jnp.where(enough, t_ba, t)
+        else:
+            aa2, t2 = aa, t
+        R2 = rot.angle_axis_to_rotation_matrix(aa2)
+        # triangulate + cheirality + reprojection gate
+        P1 = jnp.concatenate(
+            [jnp.eye(3, dtype=a.dtype),
+             jnp.zeros((3, 1), a.dtype)], 1)
+        P2 = jnp.concatenate([R2, t2[:, None]], 1)
+        X = tri.triangulate_dlt(P1, P2, a_all, b_all)
+        w4 = X[:, 3:]
+        w4 = jnp.where(jnp.abs(w4) < 1e-12, 1e-12, w4)
+        Xc1 = X[:, :3] / w4
+        Xc2 = Xc1 @ R2.T + t2
+        ok = (Xc1[:, 2] > 1e-6) & (Xc2[:, 2] > 1e-6)
+        r1 = jnp.linalg.norm(
+            Xc1[:, :2] / jnp.maximum(Xc1[:, 2:], 1e-9) - a_all,
+            axis=1) * fo1
+        r2 = jnp.linalg.norm(
+            Xc2[:, :2] / jnp.maximum(Xc2[:, 2:], 1e-9) - b_all,
+            axis=1) * fo2
+        keep = ((w_all > 0) & ok & (r1 < final_px) & (r2 < final_px))
+        return (aa2, t2, keep, jnp.sum(keep), hsum.num_inliers,
+                summary.num_inliers, gidx2, gvalid)
+
     @jax.jit
-    def run(keys, x1, x2, pix1, pix2, mask, thresh, h_thresh, f1, f2,
-            final_px):
-        def one(k, a, b, pa, pb, m, th, hth, fo1, fo2):
-            k1, k2 = jax.random.split(k)
-            sspec = _dc.replace(
-                spec, residuals=lambda E, d: spec.residuals(E, d) / th)
-            E, summary = ransac(k1, sspec, {"x1": a, "x2": b}, ropts,
-                                data_mask=m)
-            from ..pose.twoview_utils import relative_pose_from_essential
-            R, t, _ = relative_pose_from_essential(
-                E, a, b, mask=summary.inliers)
-            # homography inliers over the putative matches (pixel
-            # space, resolution-scaled threshold — ref
-            # CountHomographyInliers)
-            hs = _dc.replace(
-                hspec,
-                residuals=lambda H, d: hspec.residuals(H, d) / hth)
-            _, hsum = ransac(k2, hs, {"x1": pa, "x2": pb}, ropts,
-                             data_mask=m)
-            # 2-view BA on the epipolar inliers
-            w = (summary.inliers & m).astype(a.dtype)
-            aa = rot.rotation_matrix_to_angle_axis(R)
-            aa2, t2 = bundle_adjust_two_views_angular(aa, t, a, b, w)
-            R2 = rot.angle_axis_to_rotation_matrix(aa2)
-            # triangulate + cheirality + reprojection gate
-            P1 = jnp.concatenate(
-                [jnp.eye(3, dtype=a.dtype),
-                 jnp.zeros((3, 1), a.dtype)], 1)
-            P2 = jnp.concatenate([R2, t2[:, None]], 1)
-            X = tri.triangulate_dlt(P1, P2, a, b)
-            w4 = X[:, 3:]
-            w4 = jnp.where(jnp.abs(w4) < 1e-12, 1e-12, w4)
-            Xc1 = X[:, :3] / w4
-            Xc2 = Xc1 @ R2.T + t2
-            ok = (Xc1[:, 2] > 1e-6) & (Xc2[:, 2] > 1e-6)
-            r1 = jnp.linalg.norm(
-                Xc1[:, :2] / jnp.maximum(Xc1[:, 2:], 1e-9) - a,
-                axis=1) * fo1
-            r2 = jnp.linalg.norm(
-                Xc2[:, :2] / jnp.maximum(Xc2[:, 2:], 1e-9) - b,
-                axis=1) * fo2
-            keep = (m & summary.inliers & ok & (r1 < final_px) &
-                    (r2 < final_px))
-            return (aa2, t2, keep, jnp.sum(keep), hsum.num_inliers,
-                    summary.num_inliers)
-
+    def run_flat(keys, x1, x2, pix1, pix2, mask, thresh, h_thresh,
+                 f1, f2, pp1, pp2, final_px, band_px,
+                 kp1=None, kp2=None, de1=None, de2=None,
+                 fm1=None, fm2=None):
+        extra = ()
+        in_extra = ()
+        if guided:
+            extra = (kp1, kp2, de1, de2, fm1, fm2)
+            in_extra = (0,) * 6
         return jax.vmap(
-            one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0))(
-            keys, x1, x2, pix1, pix2, mask, thresh, h_thresh, f1, f2)
+            lambda *a: one(*a[:12], final_px, band_px, *a[12:]),
+            in_axes=(0,) * 12 + in_extra)(
+            keys, x1, x2, pix1, pix2, mask, thresh, h_thresh, f1, f2,
+            pp1, pp2, *extra)
 
-    return run
+    return run_flat
 
 
 def verify_matches_batch(key, pix1, pix2, mask, focal1, focal2,
                          pp1, pp2, image_sizes,
-                         opts: GeometricVerificationOptions = None):
+                         opts: GeometricVerificationOptions = None,
+                         kp1_all=None, kp2_all=None, desc1=None,
+                         desc2=None, fmask1=None, fmask2=None):
     """Batched verify_matches over P pairs in ONE device dispatch.
 
     pix1/pix2 (P, N, 2) padded putative pixel matches; mask (P, N);
     focal1/2 (P,); pp1/pp2 (P, 2); image_sizes (P, 2, 2) as
     [[w1, h1], [w2, h2]] per pair (zeros -> unscaled threshold).
-    No guided matching (use the single-pair path for that).
+
+    opts.guided_matching is honored when the full padded feature
+    arrays are supplied (kp1_all/kp2_all (P, N, >=2) pixel keypoints,
+    desc1/desc2 (P, N, D), fmask1/fmask2 (P, N)): the grown match set
+    rides the same fused dispatch (ref
+    two_view_match_geometric_verification.h:53-120 step 2).
     Returns (list of TwoViewInfo or None, list of corr (Mi, 4)).
     """
     opts = opts or GeometricVerificationOptions()
@@ -168,21 +223,46 @@ def verify_matches_batch(key, pix1, pix2, mask, focal1, focal2,
     h_thresh = (ev.max_sampson_error_pixels ** 2 *
                 scale[:, 0] * scale[:, 1])
 
+    guided = bool(opts.guided_matching and kp1_all is not None
+                  and desc1 is not None)
+    fn = _jitted_verify_batch(ev.num_hypotheses,
+                              bool(opts.bundle_adjustment), guided)
     keys = jax.random.split(key, P)
-    aa, t, keep, n_keep, n_h, n_epi = _jitted_verify_batch(
-        ev.num_hypotheses)(
-        keys, jnp.asarray(x1), jnp.asarray(x2),
-        jnp.asarray(np.asarray(pix1, float)),
-        jnp.asarray(np.asarray(pix2, float)),
-        jnp.asarray(mask), jnp.asarray(thresh),
-        jnp.asarray(h_thresh), jnp.asarray(f1), jnp.asarray(f2),
-        jnp.asarray(opts.final_max_reprojection_error_pixels))
-    aa = np.asarray(aa)
-    t = np.asarray(t)
-    keep = np.asarray(keep)
-    n_keep = np.asarray(n_keep)
-    n_h = np.asarray(n_h)
+    base = (keys, jnp.asarray(x1), jnp.asarray(x2),
+            jnp.asarray(np.asarray(pix1, float)),
+            jnp.asarray(np.asarray(pix2, float)),
+            jnp.asarray(mask), jnp.asarray(thresh),
+            jnp.asarray(h_thresh), jnp.asarray(f1), jnp.asarray(f2),
+            jnp.asarray(np.asarray(pp1, float)),
+            jnp.asarray(np.asarray(pp2, float)),
+            jnp.asarray(opts.final_max_reprojection_error_pixels),
+            jnp.asarray(opts.guided_matching_max_distance_pixels))
+    if guided:
+        kp1_px = np.asarray(kp1_all, float)[:, :, :2]
+        kp2_px = np.asarray(kp2_all, float)[:, :, :2]
+        extra = (jnp.asarray(kp1_px), jnp.asarray(kp2_px),
+                 jnp.asarray(desc1), jnp.asarray(desc2),
+                 jnp.asarray(fmask1), jnp.asarray(fmask2))
+        # the guided stage materializes (N, N) distance matrices per
+        # pair: chunk the pair batch so the vmapped temporaries stay
+        # ~<=1 GB (two f32 (N, N) mats + masks per pair)
+        N = kp1_px.shape[1]
+        chunk = max(1, int(2 ** 27 // max(N * N, 1)))
+    else:
+        extra = ()
+        chunk = P
+    outs = []
+    for s in range(0, P, chunk):
+        sl = slice(s, s + chunk)
+        outs.append(fn(*(a[sl] if i < 12 else a
+                         for i, a in enumerate(base)),
+                       *(e[sl] for e in extra)))
+    aa, t, keep, n_keep, n_h, n_epi, gidx2, gvalid = (
+        np.concatenate([np.asarray(o[i]) for o in outs], 0)
+        for i in range(8))
 
+    from ..visibility_pyramid import visibility_score_of_inliers
+    maxm = np.asarray(pix1).shape[1]
     infos, corrs = [], []
     for p in range(P):
         if int(n_keep[p]) < opts.min_num_inlier_matches:
@@ -191,16 +271,24 @@ def verify_matches_batch(key, pix1, pix2, mask, focal1, focal2,
             continue
         R = np.asarray(rot.angle_axis_to_rotation_matrix(
             jnp.asarray(aa[p])))
+        sel = keep[p][:maxm]
+        c1 = np.asarray(pix1)[p][sel]
+        c2 = np.asarray(pix2)[p][sel]
+        if guided:
+            gsel = keep[p][maxm:]
+            if gsel.any():
+                c1 = np.concatenate([c1, kp1_px[p][gsel]])
+                c2 = np.concatenate(
+                    [c2, kp2_px[p][gidx2[p][gsel]]])
         infos.append(TwoViewInfo(
             focal_length_1=float(f1[p]), focal_length_2=float(f2[p]),
             rotation_2=aa[p].astype(float),
             position_2=-R.T @ t[p],
             num_verified_matches=int(n_keep[p]),
-            num_homography_inliers=int(n_h[p])))
-        sel = keep[p]
-        corrs.append(np.concatenate(
-            [np.asarray(pix1)[p][sel], np.asarray(pix2)[p][sel]],
-            axis=1))
+            num_homography_inliers=int(n_h[p]),
+            visibility_score=visibility_score_of_inliers(
+                c1, c2, tuple(sizes[p, 0]), tuple(sizes[p, 1]))))
+        corrs.append(np.concatenate([c1, c2], axis=1))
     return infos, corrs
 
 
@@ -300,11 +388,14 @@ def verify_matches(key, pix1, pix2, focal1, focal2, pp1, pp2,
     if keep.sum() < opts.min_num_inlier_matches:
         return None, np.zeros((0, 4))
 
+    from ..visibility_pyramid import visibility_score_of_inliers
     out = TwoViewInfo(
         focal_length_1=float(focal1), focal_length_2=float(focal2),
         rotation_2=np.asarray(rot.rotation_matrix_to_angle_axis(
             jnp.asarray(R))),
         position_2=-R.T @ t,
         num_verified_matches=int(keep.sum()),
-        num_homography_inliers=int(num_h))
+        num_homography_inliers=int(num_h),
+        visibility_score=visibility_score_of_inliers(
+            corr1[keep], corr2[keep], image_size1, image_size2))
     return out, np.concatenate([corr1[keep], corr2[keep]], axis=1)

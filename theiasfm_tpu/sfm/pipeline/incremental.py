@@ -234,8 +234,13 @@ def incremental_reconstruction(recon: Reconstruction, graph: ViewGraph,
         # (the reference loops LocalizeViewToReconstruction per view;
         # per-view dispatches are latency-bound on TPU)
         key, k = jax.random.split(key)
-        round_views = [v for _, v in
-                       candidates[:opts.localize_round_size]]
+        # round size grows with the reconstruction: early rounds (thin
+        # structure) accept few poses before the next triangulate+BA,
+        # mirroring the reference's per-view localize-then-refine loop;
+        # once structure is dense, full rounds amortize the dispatch
+        n_est_now = len(recon.estimated_views())
+        round_cap = max(2, min(opts.localize_round_size, n_est_now))
+        round_views = [v for _, v in candidates[:round_cap]]
         results = localize_views_batch(k, recon, round_views,
                                        opts.localize)
         newly = [v for v, ok in results.items() if ok]
@@ -256,8 +261,10 @@ def incremental_reconstruction(recon: Reconstruction, graph: ViewGraph,
             _run_ba(recon, opts)
             views_at_last_full_ba = n_est
         else:
+            # the partial window must cover the whole round plus
+            # context so every just-accepted pose gets refined
             recent = recon.estimated_views()[
-                -opts.partial_ba_num_views:]
+                -max(opts.partial_ba_num_views, len(newly) + 8):]
             _run_ba(recon, opts, view_subset=recent)
         set_outlier_tracks_to_unestimated(
             recon, opts.max_reprojection_error_pixels,

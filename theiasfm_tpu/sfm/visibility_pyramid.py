@@ -32,6 +32,36 @@ class VisibilityPyramid:
         return score
 
 
+def visibility_score_of_inliers(pix1, pix2, size1, size2,
+                                num_levels: int = 6) -> int:
+    """Summed two-view pyramid score of the inlier correspondences.
+
+    ref: estimate_twoview_info.cc:102-129
+    (ComputeVisibilityScoreOfInliers) — a 6-level occupancy pyramid per
+    image over the inlier features; if either image size is unknown the
+    reference falls back to the inlier count. Vectorized (np.unique of
+    cell ids per level) instead of the per-point AddPoint loop.
+    """
+    pix1 = np.asarray(pix1, float)
+    pix2 = np.asarray(pix2, float)
+    n = len(pix1)
+    if (not size1 or not size2 or not size1[0] or not size1[1]
+            or not size2[0] or not size2[1]):
+        return n
+    if n == 0:
+        return 0
+    score = 0
+    for pix, (w, h) in ((pix1, size1), (pix2, size2)):
+        fx = np.clip(pix[:, 0] / max(w, 1), 0.0, 1.0 - 1e-9)
+        fy = np.clip(pix[:, 1] / max(h, 1), 0.0, 1.0 - 1e-9)
+        for lv in range(1, num_levels + 1):
+            m = 2 ** lv
+            cells = (fy * m).astype(np.int64) * m + (fx * m).astype(
+                np.int64)
+            score += len(np.unique(cells)) * m
+    return int(score)
+
+
 def view_visibility_score(recon, view_id) -> int:
     """Score a view by its observations of ESTIMATED tracks (ref
     FindViewsToLocalize ranking in the incremental estimator)."""
