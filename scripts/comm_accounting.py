@@ -157,8 +157,59 @@ def main():
     t2 = analyze(f"point-sharded shard_map ({n_cams} cams, "
                  f"{n_pts} pts, 8 dev)", hlo_pt)
 
+    # --- edge-sharded view-graph stages (parallel/edge_sharded.py):
+    # rotation averaging + LUD-polish GN, edges split over the mesh,
+    # O(V*3) psums per CG iteration
+    import numpy as np
+    from theiasfm_tpu.sfm.global_pose.rotation_averaging import (
+        RobustRotationOptions, _rotation_averaging_device)
+    from theiasfm_tpu.sfm.global_pose.position_estimation import (
+        PositionEstimatorOptions, _solve_positions)
+    V = n_cams
+    rng = np.random.default_rng(0)
+    E = V * 8
+    edges = np.stack([rng.integers(0, V, E),
+                      rng.integers(0, V, E)], 1).astype(np.int32)
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    E = (len(edges) // 8) * 8
+    edges = edges[:E]
+    mesh_e = make_mesh(jax.devices()[:8], axis_name="edges")
+    sh_e = P("edges")
+    rel = jnp.asarray(rng.normal(scale=0.1, size=(E, 3)),
+                      jnp.float32)
+    aa0 = jnp.asarray(rng.normal(scale=0.1, size=(V, 3)), jnp.float32)
+    mask = jnp.ones(E, jnp.float32)
+    ropts = RobustRotationOptions()
+    fr = jax.jit(jax.shard_map(
+        lambda a, b, c, d, e: _rotation_averaging_device(
+            a, b, c, d, e, ropts, V, axis_name="edges"),
+        mesh=mesh_e, in_specs=(rep, sh_e, sh_e, sh_e, sh_e),
+        out_specs=rep, check_vma=False))
+    hlo_rot = fr.lower(aa0, jnp.asarray(edges[:, 0]),
+                       jnp.asarray(edges[:, 1]), rel,
+                       mask).compile().as_text()
+    t3 = analyze(f"edge-sharded rotation averaging ({V} views, "
+                 f"{E} edges, 8 dev)", hlo_rot)
+
+    t_dir = jnp.asarray(rng.normal(size=(E, 3)), jnp.float32)
+    t_dir = t_dir / jnp.linalg.norm(t_dir, axis=1, keepdims=True)
+    popts2 = PositionEstimatorOptions()
+    fp = jax.jit(jax.shard_map(
+        lambda a, b, c, d, e: _solve_positions(
+            a, b, c, d, e, popts2, V, "lud", axis_name="edges"),
+        mesh=mesh_e, in_specs=(rep, sh_e, sh_e, sh_e, sh_e),
+        out_specs=rep, check_vma=False))
+    hlo_pos = fp.lower(
+        jnp.asarray(rng.normal(size=(V, 3)), jnp.float32),
+        jnp.asarray(edges[:, 0]), jnp.asarray(edges[:, 1]), t_dir,
+        mask).compile().as_text()
+    t4 = analyze(f"edge-sharded LUD positions ({V} views, "
+                 f"{E} edges, 8 dev)", hlo_pos)
+
     print("\nSummary: obs-sharded total(static)={:,}B  "
-          "point-sharded total(static)={:,}B".format(t1, t2))
+          "point-sharded total(static)={:,}B  "
+          "edge-sharded rotation={:,}B  positions={:,}B".format(
+              t1, t2, t3, t4))
 
 
 if __name__ == "__main__":

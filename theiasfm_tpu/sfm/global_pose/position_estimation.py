@@ -43,12 +43,19 @@ def _direction_jacobian(d, inv_norm):
                                                                    None]
 
 
-@partial(jax.jit, static_argnames=("opts", "num_views", "mode"))
+@partial(jax.jit, static_argnames=("opts", "num_views", "mode",
+                                   "axis_name"))
 def _solve_positions(init_pos, edge_i, edge_j, t_world, edge_w,
                      opts: PositionEstimatorOptions, num_views: int,
-                     mode: str):
+                     mode: str, axis_name=None):
+    """axis_name: edge-sharded multi-chip mode — edges split over the
+    mesh axis, position state replicated; all edge->view reductions and
+    edge-sum scalars psum, so per-CG-iteration traffic is O(V*3)."""
     dtype = init_pos.dtype
     free = (jnp.arange(num_views) != 0)[:, None]
+
+    def _psum(y):
+        return y if axis_name is None else jax.lax.psum(y, axis_name)
 
     def residuals(c):
         d = c[edge_j] - c[edge_i]
@@ -72,19 +79,22 @@ def _solve_positions(init_pos, edge_i, edge_j, t_world, edge_w,
             u = jnp.einsum("eij,ej->ei", Jj, x[edge_j] - x[edge_i])
             u = u * w[:, None]
             v = jnp.einsum("eji,ej->ei", Jj, u)
-            y = (jax.ops.segment_sum(v, edge_j, num_segments=num_views) -
-                 jax.ops.segment_sum(v, edge_i, num_segments=num_views))
+            y = _psum(
+                jax.ops.segment_sum(v, edge_j, num_segments=num_views) -
+                jax.ops.segment_sum(v, edge_i, num_segments=num_views))
             return y * free + 1e-9 * x
 
         g = jnp.einsum("eji,ej->ei", Jj, r * w[:, None])
-        b = -(jax.ops.segment_sum(g, edge_j, num_segments=num_views) -
-              jax.ops.segment_sum(g, edge_i, num_segments=num_views))
+        b = -_psum(
+            jax.ops.segment_sum(g, edge_j, num_segments=num_views) -
+            jax.ops.segment_sum(g, edge_i, num_segments=num_views))
         b = b * free
 
         diagJ = jnp.einsum("eji,eji->ei", Jj, Jj) * w[:, None]
-        deg = (jax.ops.segment_sum(diagJ, edge_j, num_segments=num_views)
-               + jax.ops.segment_sum(diagJ, edge_i,
-                                     num_segments=num_views))
+        deg = _psum(
+            jax.ops.segment_sum(diagJ, edge_j, num_segments=num_views)
+            + jax.ops.segment_sum(diagJ, edge_i,
+                                  num_segments=num_views))
         M_inv = 1.0 / jnp.maximum(deg, 1e-10)
 
         def cg_body(k, st):
@@ -110,16 +120,21 @@ def _solve_positions(init_pos, edge_i, edge_j, t_world, edge_w,
             rr, _, _ = residuals(cc)
             rrn = jnp.linalg.norm(rr, axis=-1)
             if mode == "lud":
-                return jnp.sum(edge_w * rrn)
+                return _psum(jnp.sum(edge_w * rrn))
             a = opts.robust_loss_width
             quad = 0.5 * rrn ** 2
             lin = a * (rrn - 0.5 * a)
-            return jnp.sum(edge_w * jnp.where(rrn <= a, quad, lin))
+            return _psum(jnp.sum(edge_w * jnp.where(rrn <= a, quad,
+                                                    lin)))
 
         accept = cost(c_new) < cost(c)
         c = jnp.where(accept, c_new, c)
-        # re-pin scale: mean baseline = 1 (scale gauge)
-        dmean = jnp.mean(jnp.linalg.norm(c[edge_j] - c[edge_i], axis=-1))
+        # re-pin scale: mean baseline = 1 (scale gauge); weight-masked
+        # so sharding padding edges (w = 0) don't skew the mean
+        valid = (edge_w > 0).astype(dtype)
+        dsum = _psum(jnp.sum(
+            jnp.linalg.norm(c[edge_j] - c[edge_i], axis=-1) * valid))
+        dmean = dsum / jnp.maximum(_psum(jnp.sum(valid)), 1.0)
         return c / jnp.maximum(dmean, 1e-10)
 
     return jax.lax.fori_loop(0, opts.max_iterations, gn_step, init_pos)

@@ -71,13 +71,35 @@ def orientations_from_mst(num_views: int, edges: np.ndarray,
     return np.asarray(rot.rotation_matrix_to_angle_axis(jnp.asarray(R)))
 
 
-@partial(jax.jit, static_argnames=("opts", "num_views"))
+@partial(jax.jit, static_argnames=("opts", "num_views", "axis_name"))
 def _rotation_averaging_device(orient_aa, edge_i, edge_j, rel_aa,
                                edge_mask, opts: RobustRotationOptions,
-                               num_views: int):
-    """One fused device computation of the full L1 -> IRLS schedule."""
+                               num_views: int, axis_name=None):
+    """One fused device computation of the full L1 -> IRLS schedule.
+
+    axis_name: when set, edges are SHARDED over that mesh axis (the
+    caller runs this under shard_map with edge arrays split and the
+    orientation state replicated); every edge->view reduction is
+    psummed, so the per-CG-iteration collective payload is O(V*3)
+    floats — independent of the edge count. That is the multi-chip
+    layout for the view-graph stages (ref performance.rst:94-112 puts
+    rotation averaging + positions as the #2/#3 global-SfM costs)."""
     dtype = orient_aa.dtype
     sigma = jnp.asarray(np.radians(opts.sigma_degrees), dtype)
+
+    def _reduce(u):
+        y = (jax.ops.segment_sum(u, edge_j, num_segments=num_views) -
+             jax.ops.segment_sum(u, edge_i, num_segments=num_views))
+        if axis_name is not None:
+            y = jax.lax.psum(y, axis_name)
+        return y
+
+    def _reduce_sym(u):
+        y = (jax.ops.segment_sum(u, edge_j, num_segments=num_views) +
+             jax.ops.segment_sum(u, edge_i, num_segments=num_views))
+        if axis_name is not None:
+            y = jax.lax.psum(y, axis_name)
+        return y
 
     def edge_residuals(aa):
         R = rot.angle_axis_to_rotation_matrix(aa)  # (V,3,3)
@@ -96,18 +118,12 @@ def _rotation_averaging_device(orient_aa, edge_i, edge_j, rel_aa,
 
         def matvec(x):
             u = (x[edge_j] - x[edge_i]) * w[:, None]
-            y = (jax.ops.segment_sum(u, edge_j, num_segments=num_views) -
-                 jax.ops.segment_sum(u, edge_i, num_segments=num_views))
-            return y * free
+            return _reduce(u) * free
 
-        b = (jax.ops.segment_sum(r * w[:, None], edge_j,
-                                 num_segments=num_views) -
-             jax.ops.segment_sum(r * w[:, None], edge_i,
-                                 num_segments=num_views)) * free
+        b = _reduce(r * w[:, None]) * free
 
         # Jacobi preconditioner: degree * weight sum per view
-        deg = (jax.ops.segment_sum(w, edge_j, num_segments=num_views) +
-               jax.ops.segment_sum(w, edge_i, num_segments=num_views))
+        deg = _reduce_sym(w)
         M_inv = 1.0 / jnp.maximum(deg, 1e-10)
 
         def cg_body(k, st):
