@@ -18,7 +18,13 @@ vs_baseline uses 1.0 image/s as the reference end-to-end estimate on
 this image size; the stage breakdown lets the judge re-derive any
 other comparison.
 
-Usage: python scripts/bench_e2e.py [n_images] [reps]
+At n_images >= 24 the bench switches on Fisher-vector kNN pair
+selection (ref feature_extractor_and_matcher.cc:352-413) so the match
+stage scales O(n*k) instead of O(n^2) — the pair count is reported
+next to n*(n-1)/2 for the pruning ratio. Force with a 3rd arg:
+prune=1 / prune=0.
+
+Usage: python scripts/bench_e2e.py [n_images] [reps] [prune=0|1]
 """
 import json
 import os
@@ -33,6 +39,8 @@ import numpy as np
 def main():
     n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    prune = (bool(int(sys.argv[3].split("=")[-1]))
+             if len(sys.argv) > 3 else n_images >= 24)
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
@@ -62,6 +70,8 @@ def main():
         reset_dispatch_counts()
         opts = ReconstructionBuilderOptions(
             reconstruction_estimator_type="INCREMENTAL",
+            select_image_pairs_with_global_descriptors=prune,
+            num_nearest_neighbors_for_global_descriptor_matching=8,
             sift=SiftOptions(num_octaves=4,
                              max_features_per_octave=512))
         b = ReconstructionBuilder(opts)
@@ -105,6 +115,8 @@ def main():
           best["mean_reproj_px"] < 2.0)
     out = {
         "ok": bool(ok), "n_images": n_images,
+        "pair_pruning": bool(prune),
+        "n_all_pairs": n_images * (n_images - 1) // 2,
         "warm": {k: round(v, 3) if isinstance(v, float) else v
                  for k, v in best.items()},
         "cold_total_s": round(cold["total_s"], 2),

@@ -125,18 +125,42 @@ def main():
 
     if mode == "matched":
         import dataclasses
-        # 1) exact solve to convergence -> reference cost c*
-        # (milder CG budget at >1500 cams: the 100-iteration exact
-        # config has crashed the axon TPU worker at Piccadilly scale)
-        exact = BAOptions(max_iterations=60,
-                          cg_iterations=100 if n_cams <= 1500 else 60,
+        exact = BAOptions(max_iterations=60, cg_iterations=100,
                           cg_tol=1e-6, loss="huber", loss_scale=2.0,
                           function_tolerance=1e-9,
                           point_indices_sorted=True)
-        run_ex = jax.jit(lambda p: bundle_adjust(p, exact))
         t0 = time.perf_counter()
-        _, s_ex = run_ex(prob)
-        c_star = float(s_ex.final_cost)
+        if n_cams <= 1500:
+            # 1) on-device exact solve to convergence -> c*
+            run_ex = jax.jit(lambda p: bundle_adjust(p, exact))
+            _, s_ex = run_ex(prob)
+            c_star = float(s_ex.final_cost)
+        else:
+            # the on-device exact config reproducibly crashes the axon
+            # TPU worker at Piccadilly scale (round-4 ROADMAP) — so at
+            # >1500 cams c* comes from a production-config TPU solve
+            # run to convergence, POLISHED by an exact f64 LM on the
+            # host CPU (bundle_adjust_host_f64). The f64 polish starts
+            # at the converged f32 state, so it needs only a few LM
+            # iterations to land on the true optimum cost.
+            from theiasfm_tpu.sfm.ba.bundle_adjustment import (
+                bundle_adjust_host_f64)
+            warm_opts = dataclasses.replace(
+                opts, max_iterations=150, function_tolerance=1e-9,
+                target_cost=None)
+            out_w, s_w = jax.jit(
+                lambda p: bundle_adjust(p, warm_opts))(prob)
+            c_warm = float(s_w.final_cost)
+            prob_polish = prob._replace(
+                extrinsics=out_w.extrinsics,
+                intrinsics=out_w.intrinsics, points=out_w.points)
+            polish = dataclasses.replace(
+                exact, max_iterations=12, function_tolerance=1e-12)
+            _, s64 = bundle_adjust_host_f64(prob_polish, polish)
+            c_star = float(s64.final_cost)
+            print(json.dumps({"note": "f64_polish", "c_warm": c_warm,
+                              "c_star_f64": c_star}),
+                  file=sys.stderr)
         exact_total_s = time.perf_counter() - t0
         target = 1.001 * c_star
 
@@ -153,7 +177,10 @@ def main():
                 out, s = r(prob)
                 float(s.final_cost)
                 ts.append(time.perf_counter() - t1)
-            return (min(ts), int(s.num_iterations),
+            # median over reps (round-4 verdict weak #2: a best-of
+            # race hid ~2x trajectory variance)
+            t_med = float(np.median(ts))
+            return (t_med, int(s.num_iterations),
                     float(s.final_cost))
 
         cfg_used = solver
@@ -183,7 +210,12 @@ def main():
                 cfg_used, t_cfg, it_cfg, c_cfg = best
         else:
             t_cfg, it_cfg, c_cfg = time_to_target(opts)
-        t_exact, it_exact, c_exact = time_to_target(exact)
+        if n_cams <= 1500:
+            t_exact, it_exact, c_exact = time_to_target(exact)
+        else:
+            # the exact config crashes the worker at this scale; the
+            # c* came from the host-f64 polish above
+            t_exact, it_exact = -1.0, -1
         print(json.dumps({
             "ok": True, "mode": "matched", "n_cams": n_cams,
             "n_pts": n_pts, "solver": cfg_used,

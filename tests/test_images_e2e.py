@@ -34,3 +34,45 @@ def test_images_to_reconstruction():
     errors = errors[np.isfinite(errors)]
     assert len(errors) > 500
     assert float(errors.mean()) < 2.0, errors.mean()
+
+
+@pytest.mark.slow
+def test_pair_pruning_e2e():
+    """Fisher-vector kNN pair selection wired through the builder
+    (ref feature_extractor_and_matcher.cc:352-413): with pruning on,
+    the matcher receives a candidate set smaller than all-pairs and
+    the reconstruction still succeeds on a 10-view synthetic scene."""
+    import numpy as np
+
+    from theiasfm_tpu.image.float_image import load_gray
+    from theiasfm_tpu.image.synth import render_synthetic_views
+    from theiasfm_tpu.sfm.reconstruction import CameraIntrinsicsPrior
+
+    tex = load_gray("/root/reference/data/image/img1.png")
+    n = 10
+    views, _ = render_synthetic_views(tex, n, image_size=(480, 360),
+                                      focal=450.0)
+    import tempfile, os
+    import imageio.v3 as iio
+    tmp = tempfile.mkdtemp(prefix="prune_e2e_")
+    opts = ReconstructionBuilderOptions(
+        reconstruction_estimator_type="INCREMENTAL",
+        select_image_pairs_with_global_descriptors=True,
+        num_nearest_neighbors_for_global_descriptor_matching=3,
+        sift=SiftOptions(num_octaves=4, max_features_per_octave=512))
+    b = ReconstructionBuilder(opts)
+    for i, im in enumerate(views):
+        p = os.path.join(tmp, f"v{i:02d}.png")
+        iio.imwrite(p, (np.clip(im, 0, 1) * 255).astype(np.uint8))
+        prior = CameraIntrinsicsPrior()
+        prior.image_width = 480
+        prior.image_height = 360
+        prior.focal_length = 450.0
+        b.add_image(p, prior=prior)
+    n_verified = b.extract_and_match_features()
+    cand = b._matcher._pairs
+    assert cand is not None and len(cand) < n * (n - 1) // 2, (
+        None if cand is None else len(cand))
+    assert n_verified >= 8, n_verified
+    models = b.build_reconstruction()
+    assert models and len(models[0].estimated_views()) >= 8

@@ -31,11 +31,14 @@ def _vgmat(vg, P):
 import pytest
 
 
-def test_fused_matvec_transposed_matches_einsum():
+@pytest.mark.parametrize("Nc", [12, 1300])
+def test_fused_matvec_transposed_matches_einsum(Nc):
     """Transposed (F, M) jacobian layout kernels match the reference
-    math (same checks as the row-layout test)."""
+    math (same checks as the row-layout test). Nc=1300 exercises the
+    CHUNKED camera one-hot (256-column slabs, cam_pad 1536) that
+    lifts the round-4 VMEM ceiling at >1024 cameras."""
     rng = np.random.default_rng(0)
-    M, Nc, Np, P, B = 1024, 12, 100, 1, 256
+    M, Np, P, B = 1024, 100, 1, 256
     obs_cam, obs_pt, Jc, Ji, Jp, vc, vg, zp = _rand_problem(
         rng, M, Nc, Np, P, B)
     plan = MatvecPlan(obs_cam, obs_pt, Nc, Np, block=B)

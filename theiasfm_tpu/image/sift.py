@@ -170,46 +170,67 @@ def _octave_keypoints(gauss, opts: SiftOptions):
     return top_score, y_ref, x_ref, s_ref, sl, iy, ix, valid
 
 
-def _gradients(img):
+def _grad_xy(img):
     gy = 0.5 * (jnp.roll(img, -1, 0) - jnp.roll(img, 1, 0))
     gx = 0.5 * (jnp.roll(img, -1, 1) - jnp.roll(img, 1, 1))
-    mag = jnp.sqrt(gx * gx + gy * gy + 1e-20)
-    ang = jnp.arctan2(gy, gx)
-    return mag, ang
+    return gx, gy
 
 
 _ORI_BINS = 36
-_WIN = 16  # orientation/descriptor sampling window (fixed)
+_WIN = 16  # orientation sampling window (fixed)
+# Per-keypoint gradient-patch side. Orientation and descriptor both
+# read ONLY this patch, extracted with one contiguous dynamic_slice
+# per keypoint from edge-padded gradient maps — the TPU-native
+# replacement for the round-4 per-sample scalar gathers and the
+# histogram scatter-add (scatters cost ~1.15us/row on this chip;
+# 296k scatter rows per octave dominated the 145 ms/image SIFT time).
+# 88 covers the worst-case rotated descriptor window: sigma_rel <=
+# 1.6 * 2^(4.5/3) = 4.53, win = 3*sigma*NBP = 54.3, half-diagonal
+# 38.4, + subpixel offset 1.5 + bilinear support -> radius 41.
+_PATCH = 88
+_PR = _PATCH // 2
 
 
-def _keypoint_orientation(mag_pyr, ang_pyr, sl, iy, ix, sigma_rel):
-    """Dominant gradient orientation per keypoint.
+def _extract_patches(gx_pad, gy_pad, sl, iy, ix):
+    """(K, PATCH, PATCH) gradient patches, centered so the keypoint's
+    integer pixel sits at (PR, PR). gx_pad/gy_pad are the per-octave
+    gradient pyramids edge-padded by PR on both spatial axes."""
+    def one(s, y, x):
+        a = jax.lax.dynamic_slice(gx_pad, (s, y, x),
+                                  (1, _PATCH, _PATCH))[0]
+        b = jax.lax.dynamic_slice(gy_pad, (s, y, x),
+                                  (1, _PATCH, _PATCH))[0]
+        return a, b
+    return jax.vmap(one)(sl, iy, ix)
 
-    mag_pyr/ang_pyr: (S+3, H, W); sl/iy/ix (K,) ints; sigma_rel (K,)
-    is the keypoint's sigma in octave pixels.
+
+def _keypoint_orientation(pgx, pgy, sigma_rel):
+    """Dominant gradient orientation per keypoint from its patch.
+
+    pgx/pgy: (K, PATCH, PATCH); sigma_rel (K,) in octave pixels. The
+    17x17 window is a STATIC patch slice; the 36-bin histogram is an
+    einsum over one-hot bin weights (MXU), not a scatter.
     """
-    K = sl.shape[0]
+    K = pgx.shape[0]
     r = _WIN // 2
-    dyx = jnp.stack(jnp.meshgrid(jnp.arange(-r, r + 1),
-                                 jnp.arange(-r, r + 1),
-                                 indexing="ij"), -1).reshape(-1, 2)
-    ys = jnp.clip(iy[:, None] + dyx[None, :, 0], 0,
-                  mag_pyr.shape[1] - 1)
-    xs = jnp.clip(ix[:, None] + dyx[None, :, 1], 0,
-                  mag_pyr.shape[2] - 1)
-    m = mag_pyr[sl[:, None], ys, xs]       # (K, P)
-    a = ang_pyr[sl[:, None], ys, xs]
-    d2 = (dyx[None, :, 0] ** 2 + dyx[None, :, 1] ** 2).astype(m.dtype)
+    wx = pgx[:, _PR - r:_PR + r + 1, _PR - r:_PR + r + 1]
+    wy = pgy[:, _PR - r:_PR + r + 1, _PR - r:_PR + r + 1]
+    m = jnp.sqrt(wx * wx + wy * wy + 1e-20).reshape(K, -1)  # (K, P)
+    a = jnp.arctan2(wy, wx).reshape(K, -1)
+    dy, dx = jnp.meshgrid(jnp.arange(-r, r + 1),
+                          jnp.arange(-r, r + 1), indexing="ij")
+    d2 = (dy * dy + dx * dx).reshape(-1).astype(m.dtype)
     w_sigma = 1.5 * sigma_rel
-    w = jnp.exp(-d2 / (2.0 * w_sigma[:, None] ** 2)) * m
+    w = jnp.exp(-d2[None, :] / (2.0 * w_sigma[:, None] ** 2)) * m
 
     bin_f = (a / (2 * jnp.pi) * _ORI_BINS) % _ORI_BINS
     b0 = jnp.floor(bin_f).astype(jnp.int32) % _ORI_BINS
     frac = bin_f - jnp.floor(bin_f)
-    hist = (jnp.zeros((K, _ORI_BINS), m.dtype)
-            .at[jnp.arange(K)[:, None], b0].add(w * (1 - frac))
-            .at[jnp.arange(K)[:, None], (b0 + 1) % _ORI_BINS]
-            .add(w * frac))
+    oh = (jax.nn.one_hot(b0, _ORI_BINS, dtype=m.dtype) *
+          (w * (1 - frac))[..., None] +
+          jax.nn.one_hot((b0 + 1) % _ORI_BINS, _ORI_BINS,
+                         dtype=m.dtype) * (w * frac)[..., None])
+    hist = jnp.sum(oh, axis=1)                       # (K, 36)
     # smooth circularly (x3)
     for _ in range(3):
         hist = (jnp.roll(hist, 1, -1) + hist + jnp.roll(hist, -1, -1)) / 3.0
@@ -229,15 +250,17 @@ _NBO = 8   # orientation bins
 _DSAMP = 16  # sample grid per side
 
 
-def _descriptors(mag_pyr, ang_pyr, sl, yk, xk, sigma_rel, theta):
-    """4x4x8 SIFT descriptor per keypoint via bilinear sampling of the
-    gradient maps on a rotated grid."""
-    K = sl.shape[0]
-    H, W = mag_pyr.shape[1], mag_pyr.shape[2]
+def _descriptors(pgx, pgy, dyk, dxk, sigma_rel, theta):
+    """4x4x8 SIFT descriptor per keypoint via bilinear sampling of its
+    gradient PATCH on a rotated grid — the sampling is two small
+    weight-matrix contractions per gradient map (MXU work), with no
+    gathers. dyk/dxk are the subpixel offsets of the refined keypoint
+    from the patch center."""
+    K = pgx.shape[0]
     # sample grid in descriptor frame: NBP bins, 3*sigma spacing per bin
     g = (jnp.arange(_DSAMP) + 0.5) / _DSAMP - 0.5    # (-0.5, 0.5)
-    gy, gx = jnp.meshgrid(g, g, indexing="ij")
-    grid = jnp.stack([gx.reshape(-1), gy.reshape(-1)], -1)  # (P, 2)
+    gy_, gx_ = jnp.meshgrid(g, g, indexing="ij")
+    grid = jnp.stack([gx_.reshape(-1), gy_.reshape(-1)], -1)  # (P, 2)
     P = grid.shape[0]
 
     win = 3.0 * sigma_rel * _NBP                     # full window width
@@ -247,28 +270,23 @@ def _descriptors(mag_pyr, ang_pyr, sl, yk, xk, sigma_rel, theta):
           grid[None, :, 1] * st[:, None]) * win[:, None]
     oy = (grid[None, :, 0] * st[:, None] +
           grid[None, :, 1] * ct[:, None]) * win[:, None]
-    sx = xk[:, None] + ox
-    sy = yk[:, None] + oy
+    # positions in PATCH coordinates (keypoint integer pixel at PR)
+    sx = jnp.clip(dxk[:, None] + ox + _PR, 0.0, _PATCH - 1.001)
+    sy = jnp.clip(dyk[:, None] + oy + _PR, 0.0, _PATCH - 1.001)
 
-    # bilinear sample mag/ang at (sy, sx) on level sl
-    x0 = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, W - 2)
-    y0 = jnp.clip(jnp.floor(sy).astype(jnp.int32), 0, H - 2)
-    fx = jnp.clip(sx - x0, 0.0, 1.0)
-    fy = jnp.clip(sy - y0, 0.0, 1.0)
-    sli = sl[:, None]
-
-    def samp(pyr, yy, xx):
-        return pyr[sli, yy, xx]
-
-    m00 = samp(mag_pyr, y0, x0)
-    m01 = samp(mag_pyr, y0, x0 + 1)
-    m10 = samp(mag_pyr, y0 + 1, x0)
-    m11 = samp(mag_pyr, y0 + 1, x0 + 1)
-    m = (m00 * (1 - fy) * (1 - fx) + m01 * (1 - fy) * fx +
-         m10 * fy * (1 - fx) + m11 * fy * fx)
-    # angle: nearest sample (interpolating angles is wrap-hazardous)
-    a = samp(ang_pyr, jnp.round(sy).astype(jnp.int32) % H,
-             jnp.round(sx).astype(jnp.int32) % W)
+    # bilinear sampling as two weight contractions: w[k, p, t] has the
+    # two-tap tent profile max(0, 1 - |s - t|) along each patch axis
+    taps = jnp.arange(_PATCH, dtype=sx.dtype)
+    wyt = jnp.maximum(0.0, 1.0 - jnp.abs(sy[..., None] -
+                                         taps[None, None, :]))
+    wxt = jnp.maximum(0.0, 1.0 - jnp.abs(sx[..., None] -
+                                         taps[None, None, :]))
+    tx = jnp.einsum("kyx,kpy->kpx", pgx, wyt)
+    gxs = jnp.einsum("kpx,kpx->kp", tx, wxt)
+    ty = jnp.einsum("kyx,kpy->kpx", pgy, wyt)
+    gys = jnp.einsum("kpx,kpx->kp", ty, wxt)
+    m = jnp.sqrt(gxs * gxs + gys * gys + 1e-20)
+    a = jnp.arctan2(gys, gxs)
     a_rel = (a - theta[:, None]) % (2 * jnp.pi)
 
     # Gaussian weight over the window
@@ -337,16 +355,22 @@ def _extract_impl(image, opts: SiftOptions, octave_shapes):
 
         score, y_ref, x_ref, s_ref, sl, iy, ix, valid = \
             _octave_keypoints(G, opts)
-        mag, ang = jax.vmap(_gradients)(G)
+        gx, gy = jax.vmap(_grad_xy)(G)
+        gx = jnp.pad(gx, ((0, 0), (_PR, _PR), (_PR, _PR)),
+                     mode="edge")
+        gy = jnp.pad(gy, ((0, 0), (_PR, _PR), (_PR, _PR)),
+                     mode="edge")
+        # one contiguous patch slice per keypoint; start (iy, ix) in
+        # the padded maps puts the keypoint's pixel at (PR, PR)
+        pgx, pgy = _extract_patches(gx, gy, sl, iy, ix)
         sigma_rel = opts.sigma0 * (k ** s_ref)        # octave pixels
         if opts.upright:
             # ref upright_sift: one canonical-orientation descriptor
             theta = jnp.zeros_like(sigma_rel)
         else:
-            theta = _keypoint_orientation(mag, ang, sl, iy, ix,
-                                          sigma_rel)
-        desc = _descriptors(mag, ang, sl, y_ref, x_ref, sigma_rel,
-                            theta)
+            theta = _keypoint_orientation(pgx, pgy, sigma_rel)
+        desc = _descriptors(pgx, pgy, y_ref - iy, x_ref - ix,
+                            sigma_rel, theta)
         if opts.root_sift:
             # RootSIFT (Arandjelovic-Zisserman): L1-normalize + sqrt,
             # so L2 distance on the result = Hellinger distance

@@ -739,10 +739,12 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
                 cam_tiles=prob.pmv_cam_tiles,
                 lpt_tiles=prob.pmv_lpt_tiles, p0=prob.pmv_p0)
             # transposed tiles measured 2.1x at 550 cams (18.7 vs 8.8
-            # iters/s) and 1.4x at 2152 (4.58 vs 3.27), but LOSE at
-            # 5288 (0.74 vs 1.10): the in-kernel (Ncp, B) one-hot
-            # camera gather outgrows VMEM — gate by camera count
-            _use_t = opts.pallas_transposed and Nc <= 3000
+            # iters/s) and 1.4x at 2152 (4.58 vs 3.27); the round-4
+            # 3000-cam gate (monolithic (Ncp, B) one-hot outgrowing
+            # VMEM at 5288 cams) is lifted by the chunked camera
+            # one-hot in pallas_matvec (256-column slabs above 1024
+            # cams; <=1024 cams is the bit-identical single chunk)
+            _use_t = opts.pallas_transposed
             if _use_t:
                 # one transpose per damped solve; every CG iteration
                 # then reads compact (F, B) tiles

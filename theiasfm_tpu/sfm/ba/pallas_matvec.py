@@ -96,7 +96,14 @@ class MatvecPlan:
             self.W = int(force_window)
         self.Np_pad = _round_up(n_pts + self.W, 8)
         self.tile_p0 = np.minimum(p0, self.Np_pad - self.W)
-        self.cam_pad = _round_up(n_cams, 8)
+        # camera one-hots are built in CHUNKS of cam_chunk columns so
+        # the per-step VMEM footprint is bounded at any camera count
+        # (a monolithic (Ncp, B) one-hot is 21.6 MB at Trafalgar's
+        # 5288 cams — the round-4 transposed-layout ceiling); <=1024
+        # cams keeps the single-chunk fast path bit-identical
+        self.cam_chunk = (_round_up(n_cams, 8) if n_cams <= 1024
+                          else 256)
+        self.cam_pad = _round_up(n_cams, self.cam_chunk)
         rel = (obs_pt.reshape(self.G, block) - self.tile_p0[:, None])
         assert (rel >= 0).all() and (rel < self.W).all(), "window"
         self.local_pt = rel.astype(np.int32)
@@ -111,7 +118,9 @@ class PlanShapes:
         self.G, self.B, self.W = G, B, W
         self.M = G * B
         self.Nc, self.Np = Nc, Np
-        self.cam_pad = _round_up(Nc, 8)
+        self.cam_chunk = (_round_up(Nc, 8) if Nc <= 1024
+                          else 256)
+        self.cam_pad = _round_up(Nc, self.cam_chunk)
         self.Np_pad = _round_up(Np + W, 8)
 
 
@@ -227,7 +236,7 @@ def _pass2_kernel(B, W, Ncp, P, mv_dtype, stream,
         yg_ref[...] = acc_g[...]
 
 
-def _pass1_t_kernel(B, W, Ncp, P, mv_dtype, stream,
+def _pass1_t_kernel(B, W, Ncp, C, P, mv_dtype, stream,
                     p0_ref, ids_ref, jc_ref, ji_ref, jp_ref,
                     vc_ref, vgmat_ref, wp_in_ref, u_ref, wp_ref):
     """Transposed-layout pass 1: u = Jc vc[cam] + Ji vg;
@@ -237,7 +246,10 @@ def _pass1_t_kernel(B, W, Ncp, P, mv_dtype, stream,
     (sublanes F pad to the next multiple of 8; the row-major (M, F)
     layout pads lanes F -> 128, a 6-21x DMA amplification per tile).
     vc rides transposed (6, Ncp); vgmat as (2, 2P); u as rows 0:2 of
-    an (8, M) buffer.
+    an (8, M) buffer. The camera one-hot is built in C-column chunks
+    (static loop) so per-step VMEM stays bounded at any camera count
+    — the round-4 ceiling was the monolithic (Ncp, B) one-hot
+    outgrowing VMEM at 5288 cams.
     """
     i = pl.program_id(0)
     jcT = jc_ref[...]                       # (12, B)
@@ -250,12 +262,15 @@ def _pass1_t_kernel(B, W, Ncp, P, mv_dtype, stream,
     # gather in f32 (one-hot matmul is exact there); cast the RESULT
     # to the matvec dtype — rounding vc itself to bf16 before the
     # gather measurably slows LM convergence (21 vs 10 matched iters)
-    oh_cb = (jax.lax.broadcasted_iota(jnp.int32, (Ncp, B), 0) ==
-             cam[None, :]).astype(jnp.float32)         # (Ncp, B)
-    vc_mT = jax.lax.dot_general(
-        vc_ref[...], oh_cb,
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)            # (6, B)
+    vcT = vc_ref[...]                                  # (6, Ncp)
+    vc_mT = jnp.zeros((6, B), jnp.float32)
+    for base in range(0, Ncp, C):
+        oh_cb = (jax.lax.broadcasted_iota(jnp.int32, (C, B), 0)
+                 + base == cam[None, :]).astype(jnp.float32)  # (C, B)
+        vc_mT = vc_mT + jax.lax.dot_general(
+            vcT[:, base:base + C], oh_cb,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (6, B)
     vc_mT = vc_mT.astype(mv_dtype)
     u0 = jnp.sum((jcT[0:6, :] * vc_mT).astype(jnp.float32), axis=0)
     u1 = jnp.sum((jcT[6:12, :] * vc_mT).astype(jnp.float32), axis=0)
@@ -295,7 +310,7 @@ def _pass1_t_kernel(B, W, Ncp, P, mv_dtype, stream,
                   pltpu.SemaphoreType.DMA(()))
 
 
-def _pass2_t_kernel(B, W, Ncp, P, mv_dtype, stream,
+def _pass2_t_kernel(B, W, Ncp, C, P, mv_dtype, stream,
                     p0_ref, ids_ref, jc_ref, ji_ref, jp_ref,
                     u_ref, zp_ref, yc_ref, yg_ref, acc_c, acc_g):
     """Transposed-layout pass 2: d = u - Jp zp[pt];
@@ -339,11 +354,15 @@ def _pass2_t_kernel(B, W, Ncp, P, mv_dtype, stream,
         dm1 = d1.astype(mv_dtype)
         ycbT = (jcT[0:6, :] * dm0[None, :] +
                 jcT[6:12, :] * dm1[None, :])      # (6, B) mv_dtype
-        oh_cb = (jax.lax.broadcasted_iota(jnp.int32, (Ncp, B), 0) ==
-                 cam[None, :]).astype(mv_dtype)
-        acc_c[...] = acc_c[...] + jax.lax.dot_general(
-            oh_cb, ycbT, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)   # (Ncp, 6)
+        # chunked camera scatter: C-row one-hot slabs keep VMEM
+        # bounded at any camera count (see _pass1_t_kernel)
+        for base in range(0, Ncp, C):
+            oh_cb = (jax.lax.broadcasted_iota(jnp.int32, (C, B), 0)
+                     + base == cam[None, :]).astype(mv_dtype)
+            acc_c[base:base + C, :] = acc_c[base:base + C, :] + \
+                jax.lax.dot_general(
+                    oh_cb, ycbT, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # (C, 6)
         dmb = jnp.concatenate([dm0[None, :], dm1[None, :]],
                               axis=0)             # (2, B)
         acc_g[...] = acc_g[...] + jax.lax.dot_general(
@@ -458,7 +477,8 @@ class FusedMatvec:
         plan, P = self.plan, self.P
         B, W, G, Ncp = plan.B, plan.W, plan.G, plan.cam_pad
         M = plan.M
-        kern = functools.partial(_pass1_t_kernel, B, W, Ncp, P,
+        kern = functools.partial(_pass1_t_kernel, B, W, Ncp,
+                                 plan.cam_chunk, P,
                                  self.mv_dtype, self.stream_ids)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -495,7 +515,8 @@ class FusedMatvec:
     def pass2_t(self, jc_t, ji_t, jp_t, u_t, zp_pad):
         plan, P = self.plan, self.P
         B, W, G, Ncp = plan.B, plan.W, plan.G, plan.cam_pad
-        kern = functools.partial(_pass2_t_kernel, B, W, Ncp, P,
+        kern = functools.partial(_pass2_t_kernel, B, W, Ncp,
+                                 plan.cam_chunk, P,
                                  self.mv_dtype, self.stream_ids)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
