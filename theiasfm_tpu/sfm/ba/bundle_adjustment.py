@@ -140,6 +140,10 @@ class BAOptions:
     # cost of an exact run) instead of raw iterations/s, which is not
     # comparable across exact/inexact per-iteration solves.
     target_cost: float = 0.0
+    # record the per-iteration candidate cost (signed: negative for
+    # rejected steps) in BASummary.cost_trace — diagnosis knob for
+    # cross-config trajectory comparisons; off in production
+    trace_costs: bool = False
     # set when obs_pt is non-decreasing (pad_ba_problem sorts): lets XLA
     # lower the big point-block segment reductions without full scatter
     point_indices_sorted: bool = False
@@ -224,6 +228,10 @@ class BASummary(NamedTuple):
     final_cost: jnp.ndarray
     num_iterations: jnp.ndarray
     final_lambda: jnp.ndarray
+    # (max_iterations,) per-iteration candidate costs when
+    # BAOptions.trace_costs (negative entries mark rejected steps);
+    # None otherwise
+    cost_trace: Optional[jnp.ndarray] = None
 
 
 # ---------------------------------------------------------------------------
@@ -1014,7 +1022,7 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
 
     def lm_body(st):
         (it, extr, intr, pts, lam, cost, r_cur, J_state, B_state,
-         P_state, prev_accepted, done) = st
+         P_state, trace, prev_accepted, done) = st
         # A REJECTED step leaves (extr, intr, pts, r_cur) unchanged —
         # the weighted residuals, jacobian blocks, AND the
         # lambda-independent Hessian blocks/gradients from the previous
@@ -1065,8 +1073,11 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         cost = jnp.where(accept, new_cost, cost)
         if opts.target_cost > 0:
             done = done | (cost <= opts.target_cost)
+        if opts.trace_costs:
+            trace = trace.at[it].set(
+                jnp.where(accept, new_cost, -new_cost))
         return (it + 1, extr, intr, pts, lam, cost, r_cur, J_state,
-                B_state, P_state, accept, done)
+                B_state, P_state, trace, accept, done)
 
     M_obs_ = prob.obs_cam.shape[0]
     if use_jac_reuse:
@@ -1094,9 +1105,11 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
     else:
         P_state0 = (jnp.zeros((Nc, 6, 6), dtype),
                     jnp.zeros((Ng, P, P), dtype))
+    trace0 = (jnp.zeros((opts.max_iterations,), dtype)
+              if opts.trace_costs else jnp.zeros((0,), dtype))
     st0 = (jnp.zeros((), jnp.int32), prob.extrinsics, prob.intrinsics,
            prob.points, jnp.asarray(opts.initial_lambda, dtype), cost0,
-           r0_init, J_state0, B_state0, P_state0,
+           r0_init, J_state0, B_state0, P_state0, trace0,
            jnp.ones((), bool), jnp.zeros((), bool))
     st = jax.lax.while_loop(lm_cond, lm_body, st0)
     it, extr, intr, pts, lam, cost = st[0], st[1], st[2], st[3], \
@@ -1104,7 +1117,9 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
 
     out = prob._replace(extrinsics=extr, intrinsics=intr, points=pts)
     return out, BASummary(initial_cost=cost0, final_cost=cost,
-                          num_iterations=it, final_lambda=lam)
+                          num_iterations=it, final_lambda=lam,
+                          cost_trace=(st[10] if opts.trace_costs
+                                      else None))
 
 
 def _diagonal_only(A):

@@ -145,6 +145,17 @@ class ExifReader:
         if focal_px is None:
             sensor_width = (self.sensors.get(model) or
                             self.sensors.get(make_model))
+            if sensor_width is None and "/" in model:
+                # spec-sheet composite names ("elph 135 / ixus 145"):
+                # real EXIF carries one of the component names — try
+                # each component against the DB
+                for part in model.split("/"):
+                    part = part.strip()
+                    sensor_width = (self.sensors.get(part) or
+                                    self.sensors.get(
+                                        f"{make} {part}".strip()))
+                    if sensor_width:
+                        break
             if focal_mm and sensor_width:
                 try:
                     f = (max(prior.image_width, prior.image_height) *
