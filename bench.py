@@ -85,7 +85,7 @@ def _probe(args, timeout=1500, accept_not_ok=False):
 
 
 def main():
-    deadline = time.time() + 45 * 60
+    deadline = time.time() + 55 * 60
     secondary = {}
 
     if not _wait_for_tpu(deadline):
@@ -110,6 +110,22 @@ def main():
             matched = _probe(["bench_probe.py", "550", "140000",
                               "pcg_fast", "60", "2", "matched"])
             headline_cfg = "pcg_fast"
+    # 1b) Piccadilly-class MATCHED-COST (2152 cams / 2M obs) — the
+    # scale where the reference's 72.26 s BA lives
+    # (performance.rst:105). c* comes from the production TPU solve +
+    # host-f64 exact polish (the on-device exact config crashes the
+    # worker at this scale); timed config = transposed Pallas matvec.
+    if time.time() < deadline - 1200 and _wait_for_tpu(deadline):
+        pic_m = _probe(["bench_probe.py", "2152", "500000",
+                        "pcg_fast_pt", "60", "2", "matched"],
+                       timeout=1500)
+        if pic_m and pic_m.get("reached"):
+            secondary["piccadilly_matched_cost_s"] = \
+                pic_m["matched_cost_s"]
+            secondary["piccadilly_matched_iters"] = \
+                pic_m["matched_iters"]
+            secondary["piccadilly_vs_ref_ceres_72.26s"] = round(
+                72.26 / max(pic_m["matched_cost_s"], 1e-9), 1)
     # 2) raw throughput (same config) for round-over-round comparison
     raw_cfg = {"pcg_fast_pt": "pcg_fast_pt",
                "pcg_fast_prow": "pcg_fast_prow",
@@ -167,11 +183,24 @@ def main():
                 secondary["e2e_images_per_sec"] = e2e["images_per_sec"]
             else:
                 secondary["e2e_fail_reason"] = e2e.get("fail_reason")
-    # 5) large-scale BA: Piccadilly-class raw throughput with the
-    # streamed-ids Pallas matvec (the round-3 1M-obs ceiling is gone)
+    # 4b) e2e at N=32 with Fisher-vector kNN pair pruning on (the
+    # O(n*k) front-end; bench_e2e turns pruning on at n>=24)
+    if time.time() < deadline - 800 and _wait_for_tpu(deadline):
+        e32 = _probe(["bench_e2e.py", "32", "1"], timeout=900,
+                     accept_not_ok=True)
+        if e32:
+            secondary["e2e32_ok"] = e32.get("ok", False)
+            secondary["e2e32_n_pairs"] = e32.get("warm", {}).get(
+                "n_pairs")
+            secondary["e2e32_n_all_pairs"] = e32.get("n_all_pairs")
+            if e32.get("ok"):
+                secondary["e2e32_images_per_sec"] = \
+                    e32["images_per_sec"]
+    # 5) large-scale BA: Piccadilly-class raw throughput (transposed
+    # Pallas matvec, chunked camera one-hot)
     if time.time() < deadline - 600 and _wait_for_tpu(deadline):
         pic = _probe(["bench_probe.py", "2152", "500000",
-                      "pcg_fast_pallas_inner0", "10", "2"],
+                      "pcg_fast_pt_inner0", "10", "2"],
                      timeout=600)
         if pic:
             secondary["piccadilly_scale_iters_per_sec"] = \
@@ -181,11 +210,12 @@ def main():
     remaining = int(deadline - time.time() - 60)
     if remaining > 500 and _wait_for_tpu(deadline):
         tra = _probe(["bench_probe.py", "5288", "1250000",
-                      "pcg_fast_pallas_inner0", "6", "1"],
+                      "pcg_fast_pt_inner0", "6", "1"],
                      timeout=min(1400, remaining))
         if tra:
             secondary["trafalgar_scale_iters_per_sec"] = \
                 tra["iters_per_sec"]
+            secondary["trafalgar_solver"] = "pcg_fast_pt_inner0"
 
     if matched and matched.get("reached"):
         t = matched["matched_cost_s"]

@@ -12,6 +12,7 @@ Usage: python scripts/bench_probe.py <n_cams> <n_pts> <solver> <n_iters> \
 Prints one JSON line on success.
 """
 import json
+import os
 import sys
 import time
 
@@ -130,7 +131,8 @@ def main():
                           function_tolerance=1e-9,
                           point_indices_sorted=True)
         t0 = time.perf_counter()
-        if n_cams <= 1500:
+        force_f64 = os.environ.get("BENCH_FORCE_F64_TARGET") == "1"
+        if n_cams <= 1500 and not force_f64:
             # 1) on-device exact solve to convergence -> c*
             run_ex = jax.jit(lambda p: bundle_adjust(p, exact))
             _, s_ex = run_ex(prob)
@@ -147,7 +149,7 @@ def main():
                 bundle_adjust_host_f64)
             warm_opts = dataclasses.replace(
                 opts, max_iterations=150, function_tolerance=1e-9,
-                target_cost=None)
+                target_cost=0.0)
             out_w, s_w = jax.jit(
                 lambda p: bundle_adjust(p, warm_opts))(prob)
             c_warm = float(s_w.final_cost)
@@ -210,7 +212,7 @@ def main():
                 cfg_used, t_cfg, it_cfg, c_cfg = best
         else:
             t_cfg, it_cfg, c_cfg = time_to_target(opts)
-        if n_cams <= 1500:
+        if n_cams <= 1500 and not force_f64:
             t_exact, it_exact, c_exact = time_to_target(exact)
         else:
             # the exact config crashes the worker at this scale; the

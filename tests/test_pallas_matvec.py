@@ -78,10 +78,11 @@ def test_fused_matvec_transposed_matches_einsum(Nc):
                                rtol=3e-4, atol=3e-4)
 
 
-@pytest.mark.parametrize("stream", [False, True])
-def test_fused_matvec_matches_einsum(stream):
+@pytest.mark.parametrize("stream,Nc", [(False, 12), (True, 12),
+                                       (False, 1300)])
+def test_fused_matvec_matches_einsum(stream, Nc):
     rng = np.random.default_rng(0)
-    M, Nc, Np, P, B = 1024, 12, 100, 1, 256
+    M, Np, P, B = 1024, 100, 1, 256
     obs_cam, obs_pt, Jc, Ji, Jp, vc, vg, zp = _rand_problem(
         rng, M, Nc, Np, P, B)
     plan = MatvecPlan(obs_cam, obs_pt, Nc, Np, block=B)

@@ -144,10 +144,15 @@ def _gather_rows(table, ids, width):
         preferred_element_type=jnp.float32)
 
 
-def _pass1_kernel(B, W, Ncp, P, mv_dtype, stream,
+def _pass1_kernel(B, W, Ncp, C, P, mv_dtype, stream,
                   p0_ref, ids_ref, jc_ref, ji_ref, jp_ref,
                   vc_ref, vgmat_ref, wp_in_ref, u_ref, wp_ref):
-    """u = Jc vc[cam] + Ji vg ; wp[window] += onehot^T (Jp^T u)."""
+    """u = Jc vc[cam] + Ji vg ; wp[window] += onehot^T (Jp^T u).
+
+    The camera gather runs in C-column one-hot chunks (static loop) so
+    per-step VMEM stays bounded at any camera count (a monolithic
+    (B, Ncp) one-hot exceeded the 16M scoped-VMEM limit at Trafalgar's
+    5288 cams)."""
     i = pl.program_id(0)
     jc = jc_ref[...]
     jp = jp_ref[...]
@@ -155,7 +160,15 @@ def _pass1_kernel(B, W, Ncp, P, mv_dtype, stream,
     row = (2 * i) % 8 if stream else 2 * i
     cam = ids_ref[row, :]
     lpt = ids_ref[row + 1, :]
-    vc_m = _gather_rows(vc_ref[...], cam, Ncp).astype(mv_dtype)
+    vc_all = vc_ref[...]                              # (Ncp, 6)
+    vc_m = jnp.zeros((B, 6), jnp.float32)
+    for base in range(0, Ncp, C):
+        oh = (cam[:, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (1, C), 1) + base).astype(vc_all.dtype)
+        vc_m = vc_m + jax.lax.dot_general(
+            oh, vc_all[base:base + C, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    vc_m = vc_m.astype(mv_dtype)
     u0 = jnp.sum((jc[:, 0:6] * vc_m).astype(jnp.float32), axis=1)
     u1 = jnp.sum((jc[:, 6:12] * vc_m).astype(jnp.float32), axis=1)
     ug = jax.lax.dot_general(
@@ -187,7 +200,7 @@ def _pass1_kernel(B, W, Ncp, P, mv_dtype, stream,
                   pltpu.SemaphoreType.DMA(()))
 
 
-def _pass2_kernel(B, W, Ncp, P, mv_dtype, stream,
+def _pass2_kernel(B, W, Ncp, C, P, mv_dtype, stream,
                   p0_ref, ids_ref, jc_ref, ji_ref, jp_ref,
                   u_ref, zp_ref, yc_ref, yg_ref, acc_c, acc_g):
     """d = u - Jp zp[pt]; yc += onehot(cam)^T (Jc^T d); yg += Ji^T d."""
@@ -221,7 +234,14 @@ def _pass2_kernel(B, W, Ncp, P, mv_dtype, stream,
         dm = d.astype(mv_dtype)
         ycb = ((jc[:, 0:6] * dm[:, 0:1] +
                 jc[:, 6:12] * dm[:, 1:2])).astype(jnp.float32)
-        acc_c[...] = acc_c[...] + _onehot_T_matmul(cam, Ncp, ycb)
+        # chunked camera scatter (see _pass1_kernel)
+        for base in range(0, Ncp, C):
+            oh = (cam[:, None] == jax.lax.broadcasted_iota(
+                jnp.int32, (1, C), 1) + base).astype(ycb.dtype)
+            acc_c[base:base + C, :] = acc_c[base:base + C, :] + \
+                jax.lax.dot_general(
+                    oh, ycb, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
         zg = jax.lax.dot_general(
             ji, dm, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)            # (2P, 2)
@@ -550,7 +570,8 @@ class FusedMatvec:
         plan, P = self.plan, self.P
         B, W, G, Ncp = plan.B, plan.W, plan.G, plan.cam_pad
         M = plan.M
-        kern = functools.partial(_pass1_kernel, B, W, Ncp, P,
+        kern = functools.partial(_pass1_kernel, B, W, Ncp,
+                                 plan.cam_chunk, P,
                                  self.mv_dtype, self.stream_ids)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -588,7 +609,8 @@ class FusedMatvec:
     def pass2(self, jc_c, ji_c, jp_c, u_c, zp_pad):
         plan, P = self.plan, self.P
         B, W, G, Ncp = plan.B, plan.W, plan.G, plan.cam_pad
-        kern = functools.partial(_pass2_kernel, B, W, Ncp, P,
+        kern = functools.partial(_pass2_kernel, B, W, Ncp,
+                                 plan.cam_chunk, P,
                                  self.mv_dtype, self.stream_ids)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
