@@ -55,6 +55,70 @@ def main():
     sift_ms_per_image = min(t_ext) / batch * 1000.0
     n_feat = int(np.mean([int(v.sum()) for _, _, v in results]))
 
+    # stage differential: time jitted sub-pipelines (pyramid+detect /
+    # +patches / +orientation / full) to locate the SIFT hot stage
+    from functools import partial as _partial
+
+    from theiasfm_tpu.image import sift as _s
+
+    padded, shapes = zip(*[_s._pad_and_shapes(
+        np.asarray(im, np.float32), opts) for im in views])
+    stack = jnp.stack([jnp.asarray(p) for p in padded])
+    oshapes = shapes[0]
+
+    def _upto(image, stage):
+        S = opts.levels_per_octave
+        kk = 2.0 ** (1.0 / S)
+        sig_init = float(np.sqrt(max(opts.sigma0 ** 2 - 0.25, 0.01)))
+        base = _s._blur(image, sig_init)
+        outs = []
+        for o, _hw in enumerate(oshapes):
+            gauss = [base]
+            sig_prev = opts.sigma0
+            for s_ in range(1, S + 3):
+                sig_total = opts.sigma0 * (kk ** s_)
+                sig_delta = float(np.sqrt(max(
+                    sig_total ** 2 - sig_prev ** 2, 1e-4)))
+                gauss.append(_s._blur(gauss[-1], sig_delta))
+                sig_prev = sig_total
+            G = jnp.stack(gauss)
+            score, y_ref, x_ref, s_ref, sl, iy, ix, valid = \
+                _s._octave_keypoints(G, opts)
+            if stage == "detect":
+                outs.append(score)
+            else:
+                gx, gy = jax.vmap(_s._grad_xy)(G)
+                gx = jnp.pad(gx, ((0, 0), (_s._PR, _s._PR),
+                                  (_s._PR, _s._PR)), mode="edge")
+                gy = jnp.pad(gy, ((0, 0), (_s._PR, _s._PR),
+                                  (_s._PR, _s._PR)), mode="edge")
+                pgx, pgy = _s._extract_patches(gx, gy, sl, iy, ix)
+                sigma_rel = opts.sigma0 * (kk ** s_ref)
+                if stage == "patches":
+                    outs.append(pgx[:, 0, 0])
+                elif stage == "orient":
+                    outs.append(_s._keypoint_orientation(
+                        pgx, pgy, sigma_rel))
+                else:
+                    theta = _s._keypoint_orientation(pgx, pgy,
+                                                     sigma_rel)
+                    outs.append(_s._descriptors(
+                        pgx, pgy, y_ref - iy, x_ref - ix, sigma_rel,
+                        theta)[:, 0])
+            base = _s._downsample2(G[S])
+        return jnp.concatenate(outs)
+
+    stage_ms = {}
+    for stage in ("detect", "patches", "orient", "full"):
+        f = jax.jit(jax.vmap(_partial(_upto, stage=stage)))
+        jax.block_until_ready(f(stack))       # compile
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(stack))
+            ts.append(time.perf_counter() - t0)
+        stage_ms[stage] = round(min(ts) / batch * 1000.0, 1)
+
     # matching: all pairs of the batch in one padded device call
     from theiasfm_tpu.matching.brute_force import match_descriptors_batch
     descs = [np.asarray(d)[np.asarray(v)] for _, d, v in results]
@@ -94,6 +158,7 @@ def main():
         "mean_features_per_image": n_feat,
         "match_pairs_per_sec": round(pairs_per_sec, 1),
         "n_pairs": P_, "descriptors_padded_to": maxn,
+        "sift_stage_ms_per_image": stage_ms,
     }))
 
 

@@ -147,15 +147,28 @@ def main():
             # iterations to land on the true optimum cost.
             from theiasfm_tpu.sfm.ba.bundle_adjustment import (
                 bundle_adjust_host_f64)
+            # warm in SHORT dispatch chunks: a single 150-iteration
+            # dispatch at Trafalgar scale reproducibly crashes the
+            # tunneled worker (same long-dispatch crash class as the
+            # exact config); 25-iteration chunks re-feed the output
+            # problem and reuse the compiled executable
             warm_opts = dataclasses.replace(
-                opts, max_iterations=150, function_tolerance=1e-9,
+                opts, max_iterations=25, function_tolerance=0.0,
                 target_cost=0.0)
-            out_w, s_w = jax.jit(
-                lambda p: bundle_adjust(p, warm_opts))(prob)
-            c_warm = float(s_w.final_cost)
-            prob_polish = prob._replace(
-                extrinsics=out_w.extrinsics,
-                intrinsics=out_w.intrinsics, points=out_w.points)
+            run_w = jax.jit(lambda p: bundle_adjust(p, warm_opts))
+            cur = prob
+            c_warm = float("inf")
+            for _ in range(8):
+                out_w, s_w = run_w(cur)
+                c = float(s_w.final_cost)
+                cur = cur._replace(extrinsics=out_w.extrinsics,
+                                   intrinsics=out_w.intrinsics,
+                                   points=out_w.points)
+                if c_warm - c < 1e-7 * max(c, 1.0):
+                    c_warm = c
+                    break
+                c_warm = c
+            prob_polish = cur
             polish = dataclasses.replace(
                 exact, max_iterations=12, function_tolerance=1e-12)
             _, s64 = bundle_adjust_host_f64(prob_polish, polish)
