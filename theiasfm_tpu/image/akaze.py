@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .sift import _blur, _keypoint_orientation
+from .sift import _blur, _keypoint_orientation_maps
 
 
 @dataclasses.dataclass(frozen=True)
@@ -222,8 +222,8 @@ def _extract_device(image, opts: AkazeOptions, octave_shapes):
             0.5 * (jnp.roll(L, -1, 1) - jnp.roll(L, 1, 1)),
             0.5 * (jnp.roll(L, -1, 2) - jnp.roll(L, 1, 2)))
         sigma_rel = 1.6 * (2.0 ** (slv / S))
-        theta = _keypoint_orientation(mag_l, ang_l, slv, iy, ix,
-                                      sigma_rel)
+        theta = _keypoint_orientation_maps(mag_l, ang_l, slv, iy, ix,
+                                           sigma_rel)
         desc = _msurf_descriptors(L, slv, iy.astype(L.dtype),
                                   ix.astype(L.dtype), sigma_rel, theta,
                                   S)

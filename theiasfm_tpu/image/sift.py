@@ -204,6 +204,54 @@ def _extract_patches(gx_pad, gy_pad, sl, iy, ix):
     return jax.vmap(one)(sl, iy, ix)
 
 
+def _keypoint_orientation_maps(mag_pyr, ang_pyr, sl, iy, ix,
+                               sigma_rel):
+    """Dominant orientation from full mag/ang maps via per-sample
+    gathers — kept for callers that already materialize polar
+    gradient maps (AKAZE); SIFT itself uses the patch-based
+    _keypoint_orientation below (no scalar gathers)."""
+    K = sl.shape[0]
+    r = _WIN // 2
+    dyx = jnp.stack(jnp.meshgrid(jnp.arange(-r, r + 1),
+                                 jnp.arange(-r, r + 1),
+                                 indexing="ij"), -1).reshape(-1, 2)
+    ys = jnp.clip(iy[:, None] + dyx[None, :, 0], 0,
+                  mag_pyr.shape[1] - 1)
+    xs = jnp.clip(ix[:, None] + dyx[None, :, 1], 0,
+                  mag_pyr.shape[2] - 1)
+    m = mag_pyr[sl[:, None], ys, xs]       # (K, P)
+    a = ang_pyr[sl[:, None], ys, xs]
+    d2 = (dyx[None, :, 0] ** 2 + dyx[None, :, 1] ** 2).astype(m.dtype)
+    w_sigma = 1.5 * sigma_rel
+    w = jnp.exp(-d2 / (2.0 * w_sigma[:, None] ** 2)) * m
+    return _hist_orientation(w, a)
+
+
+def _hist_orientation(w, a):
+    """36-bin weighted orientation histogram (one-hot einsum, no
+    scatter) -> smoothed peak with parabolic refinement."""
+    K = w.shape[0]
+    bin_f = (a / (2 * jnp.pi) * _ORI_BINS) % _ORI_BINS
+    b0 = jnp.floor(bin_f).astype(jnp.int32) % _ORI_BINS
+    frac = bin_f - jnp.floor(bin_f)
+    oh = (jax.nn.one_hot(b0, _ORI_BINS, dtype=w.dtype) *
+          (w * (1 - frac))[..., None] +
+          jax.nn.one_hot((b0 + 1) % _ORI_BINS, _ORI_BINS,
+                         dtype=w.dtype) * (w * frac)[..., None])
+    hist = jnp.sum(oh, axis=1)                       # (K, 36)
+    for _ in range(3):
+        hist = (jnp.roll(hist, 1, -1) + hist +
+                jnp.roll(hist, -1, -1)) / 3.0
+    peak = jnp.argmax(hist, axis=-1)
+    hp = hist[jnp.arange(K), peak]
+    hl = hist[jnp.arange(K), (peak - 1) % _ORI_BINS]
+    hr = hist[jnp.arange(K), (peak + 1) % _ORI_BINS]
+    denom = hl - 2 * hp + hr
+    delta = jnp.where(jnp.abs(denom) > 1e-12,
+                      0.5 * (hl - hr) / denom, 0.0)
+    return (peak + delta + 0.5) * (2 * jnp.pi / _ORI_BINS)
+
+
 def _keypoint_orientation(pgx, pgy, sigma_rel):
     """Dominant gradient orientation per keypoint from its patch.
 
@@ -222,27 +270,7 @@ def _keypoint_orientation(pgx, pgy, sigma_rel):
     d2 = (dy * dy + dx * dx).reshape(-1).astype(m.dtype)
     w_sigma = 1.5 * sigma_rel
     w = jnp.exp(-d2[None, :] / (2.0 * w_sigma[:, None] ** 2)) * m
-
-    bin_f = (a / (2 * jnp.pi) * _ORI_BINS) % _ORI_BINS
-    b0 = jnp.floor(bin_f).astype(jnp.int32) % _ORI_BINS
-    frac = bin_f - jnp.floor(bin_f)
-    oh = (jax.nn.one_hot(b0, _ORI_BINS, dtype=m.dtype) *
-          (w * (1 - frac))[..., None] +
-          jax.nn.one_hot((b0 + 1) % _ORI_BINS, _ORI_BINS,
-                         dtype=m.dtype) * (w * frac)[..., None])
-    hist = jnp.sum(oh, axis=1)                       # (K, 36)
-    # smooth circularly (x3)
-    for _ in range(3):
-        hist = (jnp.roll(hist, 1, -1) + hist + jnp.roll(hist, -1, -1)) / 3.0
-    peak = jnp.argmax(hist, axis=-1)
-    hp = hist[jnp.arange(K), peak]
-    hl = hist[jnp.arange(K), (peak - 1) % _ORI_BINS]
-    hr = hist[jnp.arange(K), (peak + 1) % _ORI_BINS]
-    denom = hl - 2 * hp + hr
-    delta = jnp.where(jnp.abs(denom) > 1e-12,
-                      0.5 * (hl - hr) / denom, 0.0)
-    theta = (peak + delta + 0.5) * (2 * jnp.pi / _ORI_BINS)
-    return theta  # [0, 2pi)
+    return _hist_orientation(w, a)  # [0, 2pi)
 
 
 _NBP = 4   # descriptor spatial bins
