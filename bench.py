@@ -85,7 +85,7 @@ def _probe(args, timeout=1500, accept_not_ok=False):
 
 
 def main():
-    deadline = time.time() + 55 * 60
+    deadline = time.time() + 65 * 60
     secondary = {}
 
     if not _wait_for_tpu(deadline):
@@ -163,9 +163,11 @@ def main():
             secondary["ref_position_s"] = gs["ref_notredame_position_s"]
     # 3b) per-stage front-end kernels (SIFT ms/image, matcher pairs/s)
     if time.time() < deadline - 800 and _wait_for_tpu(deadline):
-        fe = _probe(["bench_frontend.py", "8", "3"], timeout=500)
+        fe = _probe(["bench_frontend.py", "8", "3"], timeout=900)
         if fe:
             secondary["sift_ms_per_image"] = fe["sift_ms_per_image"]
+            secondary["sift_stage_ms_per_image"] = fe.get(
+                "sift_stage_ms_per_image")
             secondary["match_pairs_per_sec"] = \
                 fe["match_pairs_per_sec"]
     # 4) end-to-end from-pixels pipeline on N DISTINCT synthetic
@@ -183,19 +185,6 @@ def main():
                 secondary["e2e_images_per_sec"] = e2e["images_per_sec"]
             else:
                 secondary["e2e_fail_reason"] = e2e.get("fail_reason")
-    # 4b) e2e at N=32 with Fisher-vector kNN pair pruning on (the
-    # O(n*k) front-end; bench_e2e turns pruning on at n>=24)
-    if time.time() < deadline - 800 and _wait_for_tpu(deadline):
-        e32 = _probe(["bench_e2e.py", "32", "1"], timeout=900,
-                     accept_not_ok=True)
-        if e32:
-            secondary["e2e32_ok"] = e32.get("ok", False)
-            secondary["e2e32_n_pairs"] = e32.get("warm", {}).get(
-                "n_pairs")
-            secondary["e2e32_n_all_pairs"] = e32.get("n_all_pairs")
-            if e32.get("ok"):
-                secondary["e2e32_images_per_sec"] = \
-                    e32["images_per_sec"]
     # 5) large-scale BA: Piccadilly-class raw throughput (transposed
     # Pallas matvec, chunked camera one-hot)
     if time.time() < deadline - 600 and _wait_for_tpu(deadline):
@@ -205,17 +194,33 @@ def main():
         if pic:
             secondary["piccadilly_scale_iters_per_sec"] = \
                 pic["iters_per_sec"]
-    # 6) first Trafalgar-class point (5288 cams / ~5M obs) — capped to
-    # the time actually remaining before the deadline
-    remaining = int(deadline - time.time() - 60)
-    if remaining > 500 and _wait_for_tpu(deadline):
+    # 6) Trafalgar-class raw point (5288 cams / ~5M obs; the
+    # transposed chunked kernels are the only layout that fits VMEM
+    # here) — runs BEFORE the secondary e2e32 stage so the BA-scaling
+    # thesis number survives the deadline
+    if time.time() < deadline - 700 and _wait_for_tpu(deadline):
         tra = _probe(["bench_probe.py", "5288", "1250000",
                       "pcg_fast_pt_inner0", "6", "1"],
-                     timeout=min(1400, remaining))
+                     timeout=1200)
         if tra:
             secondary["trafalgar_scale_iters_per_sec"] = \
                 tra["iters_per_sec"]
             secondary["trafalgar_solver"] = "pcg_fast_pt_inner0"
+    # 7) e2e at N=32 with Fisher-vector kNN pair pruning on (the
+    # O(n*k) front-end; bench_e2e turns pruning on at n>=24) — capped
+    # to the time actually remaining
+    remaining = int(deadline - time.time() - 60)
+    if remaining > 500 and _wait_for_tpu(deadline):
+        e32 = _probe(["bench_e2e.py", "32", "1"],
+                     timeout=min(900, remaining), accept_not_ok=True)
+        if e32:
+            secondary["e2e32_ok"] = e32.get("ok", False)
+            secondary["e2e32_n_pairs"] = e32.get("warm", {}).get(
+                "n_pairs")
+            secondary["e2e32_n_all_pairs"] = e32.get("n_all_pairs")
+            if e32.get("ok"):
+                secondary["e2e32_images_per_sec"] = \
+                    e32["images_per_sec"]
 
     if matched and matched.get("reached"):
         t = matched["matched_cost_s"]
