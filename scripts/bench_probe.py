@@ -59,7 +59,7 @@ def main():
         stripping = False
         for suf in ("_nojr", "_jr", "_bf16", "_cg1", "_cg10", "_nopre",
                     "_eta", "_inner0", "_inner2", "_pallas", "_pblocks",
-                    "_pt", "_prow"):
+                    "_pt", "_prow", "_agg"):
             if solver.endswith(suf):
                 solver = solver[:-len(suf)]
                 stripping = True
@@ -92,6 +92,8 @@ def main():
                 elif suf == "_prow":
                     extra["pallas_matvec"] = True
                     extra["pallas_transposed"] = False
+                elif suf == "_agg":
+                    extra["reject_growth_aggressive"] = True
     best_of_pallas_xla = solver == "pcg_fast_best"
     if best_of_pallas_xla:
         solver = "pcg_fast"
@@ -204,14 +206,24 @@ def main():
             # the transposed-Pallas, row-Pallas and pure-XLA matvec
             # configs to the same target, report the winner
             # (honestly labeled)
-            # labels match the CLI suffix parser exactly (_pt / _prow)
-            # so a recorded solver string always names ONE layout
+            # labels match the CLI suffix parser exactly (_pt / _prow
+            # / _agg) so a recorded solver string always names ONE
+            # config. The _agg variants scale reject-side lambda
+            # growth by candidate badness (measured -26% matched time
+            # on the transposed layout, +10% on row — raced, not
+            # defaulted).
             candidates = [
+                ("pcg_fast_pt_agg", dataclasses.replace(
+                    opts, pallas_matvec=True, pallas_transposed=True,
+                    reject_growth_aggressive=True)),
                 ("pcg_fast_pt", dataclasses.replace(
                     opts, pallas_matvec=True, pallas_transposed=True)),
                 ("pcg_fast_prow", dataclasses.replace(
                     opts, pallas_matvec=True,
                     pallas_transposed=False)),
+                ("pcg_fast_prow_agg", dataclasses.replace(
+                    opts, pallas_matvec=True, pallas_transposed=False,
+                    reject_growth_aggressive=True)),
                 ("pcg_fast_xla", opts),
             ]
             best = None

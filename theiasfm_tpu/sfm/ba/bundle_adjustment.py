@@ -116,6 +116,11 @@ class BAOptions:
     initial_lambda: float = 1e-4
     min_lambda: float = 1e-12
     max_lambda: float = 1e12
+    # scale the reject-side lambda growth by how bad the candidate
+    # was: a catastrophic step (cost > 2x current — the eta-forced
+    # truncated-CG blowups the trace probe exposed) multiplies lambda
+    # by 100 instead of 10, skipping the intermediate rejected retry
+    reject_growth_aggressive: bool = False
     # which of the 10 intrinsics slots are optimized
     # (ref OptimizeIntrinsicsType bitmask; default: focal only is
     #  reference default FOCAL_LENGTH)
@@ -1065,9 +1070,13 @@ def bundle_adjust(prob: BAProblem, opts: BAOptions):
         intr = jnp.where(accept, intr_new, intr)
         pts = jnp.where(accept, pts_new, pts)
         r_cur = jnp.where(accept, r_new, r_cur)
+        if opts.reject_growth_aggressive:
+            growth = jnp.where(new_cost > 2.0 * cost, 100.0, 10.0)
+        else:
+            growth = 10.0
         lam = jnp.where(accept,
                         jnp.maximum(lam * 0.33, opts.min_lambda),
-                        jnp.minimum(lam * 10.0, opts.max_lambda))
+                        jnp.minimum(lam * growth, opts.max_lambda))
         rel_decrease = (cost - new_cost) / jnp.maximum(cost, 1e-30)
         done = accept & (rel_decrease < opts.function_tolerance)
         cost = jnp.where(accept, new_cost, cost)
