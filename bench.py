@@ -117,7 +117,7 @@ def main():
     # worker at this scale); timed config = transposed Pallas matvec.
     if time.time() < deadline - 1200 and _wait_for_tpu(deadline):
         pic_m = _probe(["bench_probe.py", "2152", "500000",
-                        "pcg_fast_pt", "60", "2", "matched"],
+                        "pcg_fast_pt_agg", "60", "2", "matched"],
                        timeout=1500)
         if pic_m and pic_m.get("reached"):
             secondary["piccadilly_matched_cost_s"] = \
